@@ -1,0 +1,75 @@
+"""Device-mesh / sharding utilities — the TPU-native replacement for the
+reference's DDP stack.
+
+The reference does data parallelism only, via NCCL process groups + apex DDP
+(reference ``bin/vc_train.py:197-201,423-431``), a ``DistributedSampler``
+(``:310-325``) and rank-0 gating (``trainers/base.py:139-142``). On TPU we
+instead run a single program per host, build a ``jax.sharding.Mesh`` over all
+devices, shard the batch over a ``data`` axis, and let pjit insert the
+gradient all-reduce over ICI. ``jax.process_index() == 0`` replaces the
+rank-0 gate; no launcher or rendezvous code is needed.
+
+The mesh always carries a ``model`` axis as well so tensor-parallel layouts
+can be expressed with the same API (reference has none — models are small —
+but the framework supports it; see §2.10 of SURVEY.md).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def get_mesh(
+    data: Optional[int] = None,
+    model: int = 1,
+    devices: Optional[Sequence[Any]] = None,
+) -> Mesh:
+    """Build a ``(data, model)`` mesh over the available devices.
+
+    Args:
+        data: Size of the data axis. Defaults to ``n_devices // model``.
+        model: Size of the model (tensor-parallel) axis.
+        devices: Devices to use. Defaults to ``jax.devices()``.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if data is None:
+        data = n // model
+    if data * model != n:
+        raise ValueError(f"mesh {data}x{model} != {n} devices")
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding that splits the leading (batch) dim over the data axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    """Fully-replicated sharding (parameters, scalars)."""
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    """Place a host batch onto the mesh, batch-dim sharded over ``data``.
+
+    Replaces the reference's DistributedSampler + per-rank DataLoader: one
+    host-side batch is laid out across all local devices in one call.
+    """
+    sharding = data_sharding(mesh)
+
+    def _put(x):
+        return jax.device_put(x, sharding)
+
+    return jax.tree_util.tree_map(_put, batch)
+
+
+def is_coordinator() -> bool:
+    """True on the process that should log / checkpoint (replaces rank==0)."""
+    return jax.process_index() == 0
