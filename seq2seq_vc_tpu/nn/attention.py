@@ -1,0 +1,171 @@
+"""Multi-head attention modules (flax.linen).
+
+Same computation as reference ``modules/transformer/attention.py:15,114,209``
+but with two TPU-first changes: (1) the attention map is an explicit return
+value instead of a stored module attribute (jit-pure), and (2) incremental
+decoding uses a real fixed-size KV cache written with dynamic_update_slice
+(the reference instead re-runs every layer over the whole prefix each step —
+``modules/transformer/decoder_layer.py:204-218``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops.attention import scaled_dot_attention
+
+
+def _split_heads(x: jnp.ndarray, n_head: int) -> jnp.ndarray:
+    b, t, d = x.shape
+    return x.reshape(b, t, n_head, d // n_head).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    b, h, t, dh = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, t, h * dh)
+
+
+def _expand_mask(mask: Optional[jnp.ndarray]) -> Optional[jnp.ndarray]:
+    """Broadcast a (B, Tk) / (B, Tq, Tk) / (B, 1, Tk) mask to (B, 1, Tq, Tk)."""
+    if mask is None:
+        return None
+    if mask.ndim == 2:
+        mask = mask[:, None, :]
+    return mask[:, None, :, :]
+
+
+class MultiHeadedAttention(nn.Module):
+    """Standard scaled dot-product MHA with q/k/v/out projections."""
+
+    n_head: int
+    n_feat: int
+    dropout_rate: float = 0.0
+
+    def setup(self):
+        self.linear_q = nn.Dense(self.n_feat)
+        self.linear_k = nn.Dense(self.n_feat)
+        self.linear_v = nn.Dense(self.n_feat)
+        self.linear_out = nn.Dense(self.n_feat)
+        self.attn_dropout = nn.Dropout(self.dropout_rate)
+
+    def _qkv(self, query, key, value):
+        q = _split_heads(self.linear_q(query), self.n_head)
+        k = _split_heads(self.linear_k(key), self.n_head)
+        v = _split_heads(self.linear_v(value), self.n_head)
+        return q, k, v
+
+    def __call__(
+        self,
+        query,
+        key,
+        value,
+        mask=None,
+        deterministic: bool = True,
+        return_weights: bool = False,
+    ):
+        q, k, v = self._qkv(query, key, value)
+        out, w = scaled_dot_attention(q, k, v, mask=_expand_mask(mask), return_weights=True)
+        w = self.attn_dropout(w, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bhkd->bhqd", w, v.astype(w.dtype))
+        out = self.linear_out(_merge_heads(out))
+        if return_weights:
+            return out, w
+        return out
+
+    def project_kv(self, key, value) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Head-split K/V projections, for building decode caches."""
+        k = _split_heads(self.linear_k(key), self.n_head)
+        v = _split_heads(self.linear_v(value), self.n_head)
+        return k, v
+
+    def attend_with_kv(self, query, k, v, mask=None):
+        """Attention with externally cached K/V (incremental decode path)."""
+        q = _split_heads(self.linear_q(query), self.n_head)
+        out = scaled_dot_attention(q, k, v, mask=_expand_mask(mask))
+        return self.linear_out(_merge_heads(out))
+
+
+def rel_shift(x: jnp.ndarray, legacy: bool = False) -> jnp.ndarray:
+    """Relative-position score shift (Transformer-XL trick).
+
+    New style: (B, H, T, 2T-1) scores against ±(T-1) positions -> (B, H, T, T).
+    Legacy: (B, H, T, T) -> (B, H, T, T).
+    """
+    b, h, t, n = x.shape
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (1, 0)))
+    x = x.reshape(b, h, n + 1, t)
+    x = x[:, :, 1:, :].reshape(b, h, t, n)
+    if legacy:
+        return x
+    return x[:, :, :, : (n + 1) // 2]
+
+
+class RelPositionMultiHeadedAttention(nn.Module):
+    """MHA with Transformer-XL relative position encoding (new style).
+
+    Expects pos_emb of shape (1, 2T-1, n_feat) from RelPositionalEncoding.
+    """
+
+    n_head: int
+    n_feat: int
+    dropout_rate: float = 0.0
+    zero_triu: bool = False
+    legacy: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        query,
+        key,
+        value,
+        pos_emb,
+        mask=None,
+        deterministic: bool = True,
+        return_weights: bool = False,
+    ):
+        d_k = self.n_feat // self.n_head
+        q = _split_heads(nn.Dense(self.n_feat, name="linear_q")(query), self.n_head)
+        k = _split_heads(nn.Dense(self.n_feat, name="linear_k")(key), self.n_head)
+        v = _split_heads(nn.Dense(self.n_feat, name="linear_v")(value), self.n_head)
+        p = _split_heads(
+            nn.Dense(self.n_feat, use_bias=False, name="linear_pos")(pos_emb), self.n_head
+        )  # (1, H, 2T-1 or T, d_k)
+
+        pos_bias_u = self.param(
+            "pos_bias_u", nn.initializers.xavier_uniform(), (self.n_head, d_k)
+        )
+        pos_bias_v = self.param(
+            "pos_bias_v", nn.initializers.xavier_uniform(), (self.n_head, d_k)
+        )
+
+        q_u = q + pos_bias_u[None, :, None, :]
+        q_v = q + pos_bias_v[None, :, None, :]
+        matrix_ac = jnp.einsum("bhqd,bhkd->bhqk", q_u, k, preferred_element_type=jnp.float32)
+        matrix_bd = jnp.einsum("bhqd,bhpd->bhqp", q_v, p, preferred_element_type=jnp.float32)
+        matrix_bd = rel_shift(matrix_bd, legacy=self.legacy)
+        if self.zero_triu:
+            tri = jnp.tril(jnp.ones(matrix_bd.shape[-2:], matrix_bd.dtype))
+            matrix_bd = matrix_bd * tri[None, None]
+
+        scores = (matrix_ac + matrix_bd) / jnp.sqrt(jnp.asarray(d_k, jnp.float32))
+        m = _expand_mask(mask)
+        if m is not None:
+            scores = jnp.where(m, scores, -1e9)
+        w = nn.softmax(scores, axis=-1)
+        if m is not None:
+            w = jnp.where(m, w, 0.0)
+        w = nn.Dropout(self.dropout_rate)(w, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bhkd->bhqd", w, v.astype(w.dtype))
+        out = nn.Dense(self.n_feat, name="linear_out")(_merge_heads(out))
+        if return_weights:
+            return out, w
+        return out
+
+
+class LegacyRelPositionMultiHeadedAttention(RelPositionMultiHeadedAttention):
+    """Legacy variant: pos_emb of shape (1, T, n_feat), legacy rel-shift."""
+
+    legacy: bool = True

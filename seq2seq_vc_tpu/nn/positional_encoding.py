@@ -1,0 +1,109 @@
+"""Positional encodings.
+
+Covers the variants the reference models use
+(reference ``layers/positional_encoding.py:14,73,198,238``): absolute
+sinusoidal, scaled (learnable alpha, used by VTN/TransformerTTS), and the
+relative encodings feeding conformer rel-pos attention (legacy = positive
+positions only; new style = symmetric ±(T-1)). The tables are computed
+inside jit from static shapes, so they constant-fold into the compiled
+graph.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+
+def sinusoidal_pe(length: int, d_model: int, dtype=jnp.float32) -> jnp.ndarray:
+    """(length, d_model) sinusoidal table: sin on even dims, cos on odd."""
+    position = np.arange(length, dtype=np.float64)[:, None]
+    div_term = np.exp(
+        np.arange(0, d_model, 2, dtype=np.float64) * -(math.log(10000.0) / d_model)
+    )
+    pe = np.zeros((length, d_model))
+    pe[:, 0::2] = np.sin(position * div_term)
+    pe[:, 1::2] = np.cos(position * div_term)
+    return jnp.asarray(pe, dtype=dtype)
+
+
+def relative_pe(length: int, d_model: int, dtype=jnp.float32) -> jnp.ndarray:
+    """(2*length - 1, d_model) table for positions length-1 .. -(length-1).
+
+    Matches the new-style espnet RelPositionalEncoding: index 0 is the most
+    positive relative position, the center is 0, the end is most negative.
+    """
+    pos = np.arange(length - 1, -length, -1, dtype=np.float64)[:, None]
+    div_term = np.exp(
+        np.arange(0, d_model, 2, dtype=np.float64) * -(math.log(10000.0) / d_model)
+    )
+    pe = np.zeros((2 * length - 1, d_model))
+    pe[:, 0::2] = np.sin(pos * div_term)
+    pe[:, 1::2] = np.cos(pos * div_term)
+    return jnp.asarray(pe, dtype=dtype)
+
+
+class PositionalEncoding(nn.Module):
+    """x * sqrt(d) + PE, then dropout."""
+
+    d_model: int
+    dropout_rate: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        pe = sinusoidal_pe(x.shape[1], self.d_model, x.dtype)
+        x = x * math.sqrt(self.d_model) + pe[None]
+        return nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
+
+
+class ScaledPositionalEncoding(nn.Module):
+    """x + alpha * PE with learnable scalar alpha (VTN/TransformerTTS)."""
+
+    d_model: int
+    dropout_rate: float = 0.1
+    init_alpha: float = 1.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        alpha = self.param("alpha", lambda _: jnp.asarray(self.init_alpha, jnp.float32))
+        pe = sinusoidal_pe(x.shape[1], self.d_model, x.dtype)
+        x = x + alpha * pe[None]
+        return nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
+
+
+class RelPositionalEncoding(nn.Module):
+    """New-style relative PE: returns (x * sqrt(d), pos_emb of length 2T-1)."""
+
+    d_model: int
+    dropout_rate: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        x = x * math.sqrt(self.d_model)
+        pos_emb = relative_pe(x.shape[1], self.d_model, x.dtype)[None]
+        drop = nn.Dropout(self.dropout_rate)
+        return (
+            drop(x, deterministic=deterministic),
+            drop(pos_emb, deterministic=deterministic),
+        )
+
+
+class LegacyRelPositionalEncoding(nn.Module):
+    """Legacy relative PE: positive positions only, pos_emb of length T."""
+
+    d_model: int
+    dropout_rate: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        x = x * math.sqrt(self.d_model)
+        pos_emb = sinusoidal_pe(x.shape[1], self.d_model, x.dtype)[None]
+        drop = nn.Dropout(self.dropout_rate)
+        return (
+            drop(x, deterministic=deterministic),
+            drop(pos_emb, deterministic=deterministic),
+        )

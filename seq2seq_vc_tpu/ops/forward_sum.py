@@ -1,0 +1,123 @@
+"""CTC forward-sum alignment loss, fully on device.
+
+Replaces reference ``losses/forward_sum_loss.py:12-116``, which loops over
+the batch calling ``F.ctc_loss`` per item on unnormalized scores. Here the
+CTC alpha recursion runs as one ``lax.scan`` over frames, vmapped over the
+batch with masked lengths — no per-item host loop. Because every target
+token is distinct (targets are 1..N), the skip transition is always legal
+for label states, which keeps the recursion three shifted adds + logsumexp
+per frame (pure VPU work).
+
+The beta-binomial alignment prior is a host-side numpy computation (it
+depends only on the length pair, cached) matching the reference's
+``_generate_prior``.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.stats import betabinom
+
+_NEG_INF = -1e30
+
+_prior_cache: Dict[Tuple[int, int, float], np.ndarray] = {}
+
+
+def beta_binomial_prior(
+    text_lengths: np.ndarray,
+    feats_lengths: np.ndarray,
+    t_text_max: int,
+    t_feats_max: int,
+    w: float = 1.0,
+) -> np.ndarray:
+    """Batched (B, T_feats_max, T_text_max) log-prior, padded with -1e30.
+
+    Per item: ``betabinom.logpmf(k, N, w*t, w*(T-t+1))`` over frame t and
+    token k, matching reference ``forward_sum_loss.py:78-116``.
+    """
+    B = len(text_lengths)
+    out = np.full((B, t_feats_max, t_text_max), _NEG_INF, dtype=np.float32)
+    for b in range(B):
+        T = int(feats_lengths[b])
+        N = int(text_lengths[b])
+        key = (T, N, w)
+        if key not in _prior_cache:
+            alpha = w * np.arange(1, T + 1, dtype=float)  # (T,)
+            beta = w * (T - alpha + 1.0)
+            k = np.arange(N)[:, None]  # (N, 1)
+            _prior_cache[key] = betabinom.logpmf(k, N, alpha, beta).T.astype(
+                np.float32
+            )  # (T, N)
+        out[b, :T, :N] = _prior_cache[key]
+    return out
+
+
+def _ctc_single(lp_pd: jnp.ndarray, n_text: jnp.ndarray, n_feats: jnp.ndarray):
+    """Negative log forward-sum for one item.
+
+    Args:
+        lp_pd: (T_feats, 1 + T_text) scores with the blank column prepended.
+        n_text: true token count N (targets are 1..N).
+        n_feats: true frame count T.
+    """
+    t_feats, n_classes = lp_pd.shape
+    n_states = 2 * (n_classes - 1) + 1
+    s = jnp.arange(n_states)
+    is_label = (s % 2) == 1
+    label_idx = (s + 1) // 2  # class column for odd states
+    class_idx = jnp.where(is_label, label_idx, 0)
+    emit = lp_pd[:, class_idx]  # (T_feats, n_states)
+    valid_state = jnp.where(is_label, label_idx <= n_text, s <= 2 * n_text)
+    emit = jnp.where(valid_state[None, :], emit, _NEG_INF)
+
+    alpha0 = jnp.full((n_states,), _NEG_INF)
+    alpha0 = alpha0.at[0].set(emit[0, 0]).at[1].set(emit[0, 1])
+
+    skip_ok = is_label & (s >= 2)
+
+    def step(alpha, t):
+        a1 = jnp.concatenate([jnp.full((1,), _NEG_INF), alpha[:-1]])
+        a2 = jnp.concatenate([jnp.full((2,), _NEG_INF), alpha[:-2]])
+        a2 = jnp.where(skip_ok, a2, _NEG_INF)
+        new = jnp.logaddexp(jnp.logaddexp(alpha, a1), a2) + emit[t]
+        new = jnp.where(t < n_feats, new, alpha)  # freeze past the true length
+        return new, None
+
+    alpha, _ = jax.lax.scan(step, alpha0, jnp.arange(1, t_feats))
+    end = jnp.logaddexp(alpha[2 * n_text], alpha[2 * n_text - 1])
+    return -end
+
+
+@jax.jit
+def forward_sum_loss(
+    log_p_attn: jnp.ndarray,
+    ilens: jnp.ndarray,
+    olens: jnp.ndarray,
+    blank_prob: float = math.exp(-1),
+) -> jnp.ndarray:
+    """Batched forward-sum loss.
+
+    Args:
+        log_p_attn: (B, T_feats, T_text) attention log-probs (with any prior
+            already added — see ``losses.ForwardSumLoss`` for the prior).
+        ilens: (B,) text lengths.
+        olens: (B,) feature lengths.
+        blank_prob: CTC blank score.
+
+    Returns:
+        Scalar: mean over batch of per-item loss / target length (the
+        reference's ``F.ctc_loss`` 'mean' reduction semantics), with
+        non-finite items zeroed (zero_infinity).
+    """
+    B, _, _ = log_p_attn.shape
+    blank = jnp.full(log_p_attn.shape[:2] + (1,), math.log(blank_prob), log_p_attn.dtype)
+    lp_pd = jnp.concatenate([blank, log_p_attn], axis=2)
+    losses = jax.vmap(_ctc_single)(lp_pd, ilens, olens)
+    losses = losses / jnp.maximum(ilens, 1)
+    losses = jnp.where(losses > 1e29, 0.0, losses)  # zero_infinity
+    return jnp.mean(losses)
