@@ -1,0 +1,301 @@
+"""Conformer encoder (flax.linen) — the AAS-VC workhorse.
+
+Mirrors reference ``modules/conformer/{encoder,encoder_layer,convolution}.py``
+(macaron FFN x0.5, rel-pos self-attention, GLU conv module, final LN).
+
+Deviation (documented, SURVEY.md §7 hard-part 7): the conv module's
+BatchNorm is replaced by GroupNorm(1) by default — batch statistics are a
+poor fit for pjit data parallelism (they would need cross-device sync every
+step); group norm is per-sample, mask-safe, and jit-pure. Set
+``conv_norm_type='batch_norm'`` for a torch-parity experiment (uses flax
+BatchNorm with mutable ``batch_stats``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .attention import (
+    LegacyRelPositionMultiHeadedAttention,
+    MultiHeadedAttention,
+    RelPositionMultiHeadedAttention,
+)
+from .transformer import LN_EPS, _make_pos_enc, _positionwise, Conv2dSubsampling
+
+
+class MaskedGroupNorm(nn.Module):
+    """Single-group norm whose statistics ignore padded positions.
+
+    Normalizes each sample over (time, channels) using only valid frames, so
+    outputs are invariant to pad length (unlike BatchNorm/GroupNorm over
+    padded buffers). Per-channel scale/bias like GroupNorm.
+    """
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        # x: (B, T, C); mask: (B, T) True at valid frames or None
+        c = x.shape[-1]
+        if mask is None:
+            mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+            var = jnp.mean((x - mean) ** 2, axis=(1, 2), keepdims=True)
+        else:
+            m = mask[..., None].astype(x.dtype)
+            denom = jnp.maximum(m.sum(axis=(1, 2), keepdims=True) * c, 1.0)
+            mean = jnp.sum(x * m, axis=(1, 2), keepdims=True) / denom
+            var = jnp.sum(((x - mean) * m) ** 2, axis=(1, 2), keepdims=True) / denom
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return y * scale + bias
+
+
+class ConvolutionModule(nn.Module):
+    """Pointwise(2C) -> GLU -> depthwise -> norm -> swish -> pointwise.
+
+    Padded frames are zeroed before the depthwise conv and excluded from the
+    norm statistics, so the module is pad-length invariant.
+    """
+
+    channels: int
+    kernel_size: int
+    conv_norm_type: str = "group_norm"
+
+    @nn.compact
+    def __call__(self, x, mask=None, deterministic: bool = True):
+        assert (self.kernel_size - 1) % 2 == 0
+        if mask is not None:
+            x = x * mask[..., None].astype(x.dtype)
+        h = nn.Conv(2 * self.channels, (1,))(x)
+        h = nn.glu(h, axis=-1)
+        if mask is not None:
+            h = h * mask[..., None].astype(h.dtype)
+        h = nn.Conv(
+            self.channels,
+            (self.kernel_size,),
+            padding="SAME",
+            feature_group_count=self.channels,
+        )(h)
+        if self.conv_norm_type == "group_norm":
+            h = MaskedGroupNorm()(h, mask)
+        elif self.conv_norm_type == "batch_norm":
+            h = nn.BatchNorm(use_running_average=deterministic)(h)
+        else:
+            raise ValueError(self.conv_norm_type)
+        h = nn.swish(h)
+        return nn.Conv(self.channels, (1,))(h)
+
+
+class ConformerEncoderLayer(nn.Module):
+    """Macaron-FFN + rel-pos MHA + conv module + FFN + final LN."""
+
+    size: int
+    n_head: int
+    linear_units: int
+    dropout_rate: float = 0.1
+    attention_dropout_rate: float = 0.0
+    normalize_before: bool = True
+    concat_after: bool = False
+    positionwise_layer_type: str = "linear"
+    positionwise_conv_kernel_size: int = 1
+    selfattention_layer_type: str = "rel_selfattn"
+    macaron_style: bool = True
+    use_cnn_module: bool = True
+    cnn_module_kernel: int = 31
+    conv_norm_type: str = "group_norm"
+    zero_triu: bool = False
+
+    def setup(self):
+        if self.selfattention_layer_type == "selfattn":
+            self.self_attn = MultiHeadedAttention(
+                self.n_head, self.size, self.attention_dropout_rate
+            )
+        elif self.selfattention_layer_type == "rel_selfattn":
+            self.self_attn = RelPositionMultiHeadedAttention(
+                self.n_head, self.size, self.attention_dropout_rate,
+                zero_triu=self.zero_triu,
+            )
+        elif self.selfattention_layer_type == "legacy_rel_selfattn":
+            self.self_attn = LegacyRelPositionMultiHeadedAttention(
+                self.n_head, self.size, self.attention_dropout_rate,
+                zero_triu=self.zero_triu,
+            )
+        else:
+            raise ValueError(self.selfattention_layer_type)
+        self.feed_forward = _positionwise(
+            self.positionwise_layer_type, self.linear_units,
+            self.dropout_rate, self.positionwise_conv_kernel_size,
+        )
+        if self.macaron_style:
+            self.feed_forward_macaron = _positionwise(
+                self.positionwise_layer_type, self.linear_units,
+                self.dropout_rate, self.positionwise_conv_kernel_size,
+            )
+            self.norm_ff_macaron = nn.LayerNorm(epsilon=LN_EPS)
+        if self.use_cnn_module:
+            self.conv_module = ConvolutionModule(
+                self.size, self.cnn_module_kernel, self.conv_norm_type
+            )
+            self.norm_conv = nn.LayerNorm(epsilon=LN_EPS)
+            self.norm_final = nn.LayerNorm(epsilon=LN_EPS)
+        self.norm_ff = nn.LayerNorm(epsilon=LN_EPS)
+        self.norm_mha = nn.LayerNorm(epsilon=LN_EPS)
+        self.dropout = nn.Dropout(self.dropout_rate)
+        if self.concat_after:
+            self.concat_linear = nn.Dense(self.size)
+
+    def __call__(self, x, mask, pos_emb=None, deterministic: bool = True):
+        ff_scale = 0.5 if self.macaron_style else 1.0
+
+        if self.macaron_style:
+            residual = x
+            h = self.norm_ff_macaron(x) if self.normalize_before else x
+            x = residual + ff_scale * self.dropout(
+                self.feed_forward_macaron(h, deterministic=deterministic),
+                deterministic=deterministic,
+            )
+            if not self.normalize_before:
+                x = self.norm_ff_macaron(x)
+
+        residual = x
+        h = self.norm_mha(x) if self.normalize_before else x
+        if pos_emb is not None:
+            att = self.self_attn(h, h, h, pos_emb, mask, deterministic=deterministic)
+        else:
+            att = self.self_attn(h, h, h, mask, deterministic=deterministic)
+        if self.concat_after:
+            x = residual + self.concat_linear(jnp.concatenate([h, att], axis=-1))
+        else:
+            x = residual + self.dropout(att, deterministic=deterministic)
+        if not self.normalize_before:
+            x = self.norm_mha(x)
+
+        if self.use_cnn_module:
+            residual = x
+            h = self.norm_conv(x) if self.normalize_before else x
+            frame_mask = None if mask is None else mask[:, 0, :]
+            x = residual + self.dropout(
+                self.conv_module(h, frame_mask, deterministic=deterministic),
+                deterministic=deterministic,
+            )
+            if not self.normalize_before:
+                x = self.norm_conv(x)
+
+        residual = x
+        h = self.norm_ff(x) if self.normalize_before else x
+        x = residual + ff_scale * self.dropout(
+            self.feed_forward(h, deterministic=deterministic),
+            deterministic=deterministic,
+        )
+        if not self.normalize_before:
+            x = self.norm_ff(x)
+
+        if self.use_cnn_module:
+            x = self.norm_final(x)
+        return x
+
+
+class ConformerEncoder(nn.Module):
+    """Conformer encoder (reference ``conformer/encoder.py:37``)."""
+
+    idim: int
+    attention_dim: int = 256
+    attention_heads: int = 4
+    linear_units: int = 2048
+    num_blocks: int = 6
+    dropout_rate: float = 0.1
+    positional_dropout_rate: float = 0.1
+    attention_dropout_rate: float = 0.0
+    input_layer: Optional[str] = "conv2d"
+    normalize_before: bool = True
+    concat_after: bool = False
+    positionwise_layer_type: str = "linear"
+    positionwise_conv_kernel_size: int = 1
+    macaron_style: bool = True
+    pos_enc_layer_type: str = "rel_pos"  # abs_pos | scaled_abs_pos | rel_pos | legacy_rel_pos
+    selfattention_layer_type: str = "rel_selfattn"
+    use_cnn_module: bool = True
+    cnn_module_kernel: int = 31
+    conv_norm_type: str = "group_norm"
+    zero_triu: bool = False
+    padding_idx: int = 0
+
+    @property
+    def conv_subsampling_factor(self) -> int:
+        return 4 if self.input_layer == "conv2d" else 1
+
+    def setup(self):
+        if self.input_layer == "linear":
+            self.pre = nn.Dense(self.attention_dim)
+            self.pre_norm = nn.LayerNorm(epsilon=LN_EPS)
+        elif self.input_layer == "conv2d":
+            self.subsample = Conv2dSubsampling(self.attention_dim)
+        elif self.input_layer == "embed":
+            self.embed_tokens = nn.Embed(self.idim, self.attention_dim)
+        elif self.input_layer is not None:
+            raise ValueError(f"unknown input_layer: {self.input_layer}")
+
+        kind = {
+            "abs_pos": "abs",
+            "scaled_abs_pos": "scaled",
+            "rel_pos": "rel_pos",
+            "legacy_rel_pos": "legacy_rel_pos",
+        }[self.pos_enc_layer_type]
+        self.pos_enc = _make_pos_enc(
+            kind, self.attention_dim, self.positional_dropout_rate
+        )
+        self.layers = [
+            ConformerEncoderLayer(
+                self.attention_dim,
+                self.attention_heads,
+                self.linear_units,
+                self.dropout_rate,
+                self.attention_dropout_rate,
+                self.normalize_before,
+                self.concat_after,
+                self.positionwise_layer_type,
+                self.positionwise_conv_kernel_size,
+                self.selfattention_layer_type,
+                self.macaron_style,
+                self.use_cnn_module,
+                self.cnn_module_kernel,
+                self.conv_norm_type,
+                self.zero_triu,
+            )
+            for _ in range(self.num_blocks)
+        ]
+        if self.normalize_before:
+            self.after_norm = nn.LayerNorm(epsilon=LN_EPS)
+        self.input_dropout = nn.Dropout(self.dropout_rate)
+
+    def __call__(self, xs, masks: Optional[jnp.ndarray], deterministic: bool = True):
+        """Encode. xs: (B, T, idim) or (B, T) ints; masks: (B, T) non-pad."""
+        if self.input_layer == "linear":
+            xs = nn.relu(
+                self.input_dropout(
+                    self.pre_norm(self.pre(xs)), deterministic=deterministic
+                )
+            )
+        elif self.input_layer == "conv2d":
+            xs, masks = self.subsample(xs, masks)
+        elif self.input_layer == "embed":
+            xs = self.embed_tokens(xs)
+
+        pos_emb = None
+        out = self.pos_enc(xs, deterministic=deterministic)
+        if isinstance(out, tuple):
+            xs, pos_emb = out
+        else:
+            xs = out
+
+        attn_mask = None if masks is None else masks[:, None, :]
+        for layer in self.layers:
+            xs = layer(xs, attn_mask, pos_emb=pos_emb, deterministic=deterministic)
+        if self.normalize_before:
+            xs = self.after_norm(xs)
+        return xs, masks
