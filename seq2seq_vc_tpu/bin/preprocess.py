@@ -1,0 +1,132 @@
+"""Preprocessing: wav -> features -> per-utt HDF5.
+
+Capability match with reference ``bin/preprocess.py:95-314``: reads a
+kaldi-style wav.scp, resamples, trims silence, applies global gain, writes
+``wave`` + one dataset per feature type. The mel pipeline is the jitted
+on-device extractor (``dsp/features.py``), so feature extraction runs on
+TPU; silence trimming is a host-side RMS gate matching librosa.effects.trim
+semantics.
+
+Feature types: ``mel`` (more — encodec/ppg upstreams — are gated until
+their encoders are available in-image; the CLI rejects them clearly).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+
+import numpy as np
+import yaml
+from tqdm import tqdm
+
+from ..core.config import load_config
+from ..dsp.features import LogMelExtractor
+from ..utils.audio import read_wav
+from ..utils.io import read_scp, write_hdf5
+
+
+def resample(audio: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
+    """Polyphase resampling via scipy (no librosa in this image)."""
+    if orig_sr == target_sr:
+        return audio
+    from math import gcd
+
+    from scipy.signal import resample_poly
+
+    g = gcd(orig_sr, target_sr)
+    return resample_poly(audio, target_sr // g, orig_sr // g).astype(np.float32)
+
+
+def trim_silence(
+    audio: np.ndarray,
+    threshold_in_db: float = 60.0,
+    frame_size: int = 2048,
+    hop_size: int = 512,
+) -> np.ndarray:
+    """Trim leading/trailing silence (librosa.effects.trim semantics:
+    drop edge frames whose RMS is more than top_db below the max RMS)."""
+    if len(audio) < frame_size:
+        return audio
+    n = 1 + (len(audio) - frame_size) // hop_size
+    idx = np.arange(n)[:, None] * hop_size + np.arange(frame_size)[None, :]
+    rms = np.sqrt(np.mean(audio[idx] ** 2, axis=1))
+    db = 20.0 * np.log10(np.maximum(rms, 1e-10))
+    keep = db > (db.max() - threshold_in_db)
+    if not keep.any():
+        return audio
+    first, last = np.argmax(keep), len(keep) - 1 - np.argmax(keep[::-1])
+    start = first * hop_size
+    end = min(len(audio), last * hop_size + frame_size)
+    return audio[start:end]
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Extract features from wav.scp")
+    parser.add_argument("--wav-scp", "--scp", required=True)
+    parser.add_argument("--segments", default=None)
+    parser.add_argument("--dumpdir", required=True)
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--verbose", type=int, default=1)
+    args = parser.parse_args()
+
+    logging.basicConfig(
+        level=logging.INFO if args.verbose else logging.WARNING,
+        format="%(asctime)s (%(module)s:%(lineno)d) %(levelname)s: %(message)s",
+    )
+    config = load_config(args.config)
+    if args.segments:
+        raise NotImplementedError("kaldi segments files are not supported yet")
+
+    sr = config["sampling_rate"]
+    feat_list = config.get("feat_list", {"mel": {}})
+    unsupported = [k for k in feat_list if k != "mel"]
+    if unsupported:
+        raise NotImplementedError(
+            f"feature types {unsupported} need external encoders not present "
+            "in this image; only 'mel' is supported"
+        )
+    extractor = LogMelExtractor(
+        sampling_rate=sr,
+        fft_size=config["fft_size"],
+        hop_size=config["hop_size"],
+        win_length=config.get("win_length"),
+        window=config.get("window", "hann"),
+        num_mels=config["num_mels"],
+        fmin=config.get("fmin"),
+        fmax=config.get("fmax"),
+    )
+
+    os.makedirs(args.dumpdir, exist_ok=True)
+    scp = read_scp(args.wav_scp)
+    for utt_id, wav_path in tqdm(scp.items()):
+        audio, orig_sr = read_wav(wav_path)
+        if audio.ndim > 1:
+            audio = audio.mean(axis=1)
+        audio = resample(audio, orig_sr, sr)
+        if config.get("trim_silence", False):
+            audio = trim_silence(
+                audio,
+                config.get("trim_threshold_in_db", 60),
+                config.get("trim_frame_size", 2048),
+                config.get("trim_hop_size", 512),
+            )
+        gain = config.get("global_gain_scale", 1.0)
+        if gain != 1.0:
+            audio = audio * gain
+        if np.abs(audio).max() >= 1.0:
+            logging.warning("%s causes clipping; reduce global_gain_scale", utt_id)
+
+        mel = extractor(audio)
+        # pad audio so len(audio) == len(mel) * hop (reference behavior)
+        audio = np.pad(audio, (0, config["fft_size"]), mode="reflect")
+        audio = audio[: len(mel) * config["hop_size"]]
+
+        out = os.path.join(args.dumpdir, f"{utt_id}.h5")
+        write_hdf5(out, "wave", audio.astype(np.float32))
+        write_hdf5(out, "mel", mel.astype(np.float32))
+
+
+if __name__ == "__main__":
+    main()

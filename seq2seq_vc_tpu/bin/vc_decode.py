@@ -1,0 +1,178 @@
+"""VC decoding driver.
+
+Capability match with reference ``bin/vc_decode.py:32-376``: loads the
+training config from the experiment dir, target stats, runs
+``model.inference`` per utterance choosing the AR vs NAR path by registry
+membership, logs mel-frames/sec, writes feature HDF5s, durations, and
+vocoded wavs.
+
+TPU-first: inputs are bucketed to padded lengths so the jitted inference
+graph is reused across utterances (a handful of compiles instead of one
+python loop step per frame per utterance as in the reference).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from tqdm import tqdm
+
+from ..core.checkpoint import load_checkpoint
+from ..core.config import load_config
+from ..dsp.stats import denormalize
+from ..models import AR_VC_MODELS, NAR_VC_MODELS, get_model_class
+from ..train.data import SourceVCMelDataset
+from ..utils.io import read_hdf5, write_hdf5
+from ..utils.audio import write_wav
+from ..vocoder import get_vocoder
+from .vc_train import init_model_params
+
+
+def _bucket_len(n: int, multiple: int = 64) -> int:
+    return ((n + multiple - 1) // multiple) * multiple
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Decode with a trained VC model")
+    parser.add_argument("--dumpdir", required=True, help="source features dir/scp")
+    parser.add_argument("--dp-input-dir", default=None)
+    parser.add_argument("--checkpoint", required=True)
+    parser.add_argument("--config", default=None, help="defaults to <ckpt_dir>/config.yml")
+    parser.add_argument("--outdir", required=True)
+    parser.add_argument("--trg-stats", default=None)
+    parser.add_argument("--feat-type", default="mel")
+    parser.add_argument("--use-teacher-forcing", action="store_true")
+    parser.add_argument("--verbose", type=int, default=1)
+    args = parser.parse_args()
+
+    logging.basicConfig(
+        level=logging.INFO if args.verbose else logging.WARNING,
+        format="%(asctime)s (%(module)s:%(lineno)d) %(levelname)s: %(message)s",
+    )
+    config_path = args.config or os.path.join(
+        os.path.dirname(args.checkpoint), "config.yml"
+    )
+    config = load_config(config_path)
+
+    trg_stats = None
+    stats_path = args.trg_stats or config.get("trg_stats")
+    if stats_path:
+        trg_stats = {
+            "mean": read_hdf5(stats_path, f"{args.feat_type}_mean"),
+            "scale": read_hdf5(stats_path, f"{args.feat_type}_scale"),
+        }
+
+    dataset = SourceVCMelDataset(
+        args.dumpdir, dp_feats=args.dp_input_dir, feat_key=args.feat_type
+    )
+    logging.info("decoding %d utterances", len(dataset))
+
+    model_type = config["model_type"]
+    model_class = get_model_class(model_type)
+    model = model_class(**config["model_params"])
+    is_ar = model_type in AR_VC_MODELS
+    assert is_ar or model_type in NAR_VC_MODELS
+
+    # init + restore params
+    first = dataset[0]
+    d = first["src_feat"].shape[1]
+    dummy = {
+        "xs": np.zeros((1, 64, d), np.float32),
+        "ilens": np.asarray([64], np.int32),
+        "ys": np.zeros((1, 64, config["model_params"]["odim"]), np.float32),
+        "olens": np.asarray([64], np.int32),
+        "labels": np.zeros((1, 64), np.float32),
+    }
+    if "dp_input" in first:
+        dummy["dp_inputs"] = np.zeros((1, 64, first["dp_input"].shape[1]), np.float32)
+        dummy["dplens"] = np.asarray([64], np.int32)
+    cfg_for_init = dict(config)
+    cfg_for_init["collater_type"] = (
+        "ARVCCollater" if is_ar else config.get("collater_type", "NARVCCollater")
+    )
+    params = init_model_params(model, cfg_for_init, dummy)
+    params = load_checkpoint(args.checkpoint, params)["model"]
+
+    vocoder = get_vocoder(config, trg_stats)
+    inf_cfg = config.get("inference", {}) or {}
+
+    inference = getattr(model_class, "inference")
+    if is_ar:
+        @jax.jit
+        def run(p, xs, ilens, key):
+            return model.apply(
+                p, xs, ilens, key,
+                inf_cfg.get("threshold", 0.5),
+                inf_cfg.get("minlenratio", 0.0),
+                inf_cfg.get("maxlenratio", 6.0),
+                method=inference,
+            )
+    else:
+        from functools import partial
+
+        @partial(jax.jit, static_argnames=("max_out",))
+        def run(p, xs, ilens, key, dp=None, max_out=512):
+            return model.apply(
+                p, xs, ilens, dp, max_output_frames=max_out,
+                method=inference, rngs={"noise": key},
+            )
+
+    os.makedirs(args.outdir, exist_ok=True)
+    wav_dir = os.path.join(args.outdir, "wav")
+    os.makedirs(wav_dir, exist_ok=True)
+    dur_dir = os.path.join(args.outdir, "durations")
+    os.makedirs(dur_dir, exist_ok=True)
+
+    total_frames, total_sec = 0, 0.0
+    for idx in tqdm(range(len(dataset))):
+        item = dataset[idx]
+        utt = item["utt_id"]
+        feat = item["src_feat"]
+        T = feat.shape[0]
+        Tb = _bucket_len(T)
+        xs = np.zeros((1, Tb, feat.shape[1]), np.float32)
+        xs[0, :T] = feat
+        ilens = jnp.asarray([T], jnp.int32)
+        key = jax.random.fold_in(jax.random.PRNGKey(config.get("seed", 0)), idx)
+
+        start = time.time()
+        if is_ar:
+            out = run(params, jnp.asarray(xs), ilens, key)
+        else:
+            dp = None
+            if "dp_input" in item:
+                dparr = np.zeros((1, Tb, item["dp_input"].shape[1]), np.float32)
+                dparr[0, : item["dp_input"].shape[0]] = item["dp_input"]
+                dp = jnp.asarray(dparr)
+            out = run(params, jnp.asarray(xs), ilens, key, dp, max_out=Tb * 2)
+        L = int(out["out_lens"][0])
+        outs = np.asarray(out["outs"][0, :L])
+        elapsed = time.time() - start
+        total_frames += L
+        total_sec += elapsed
+        logging.info("%s: %d frames in %.3f s (%.1f frames/sec)", utt, L, elapsed, L / max(elapsed, 1e-9))
+
+        write_hdf5(os.path.join(args.outdir, f"{utt}.h5"), "feats", outs.astype(np.float32))
+        if not is_ar and "d_outs" in out:
+            np.savetxt(
+                os.path.join(dur_dir, f"{utt}.txt"),
+                np.asarray(out["d_outs"][0], np.int64)[None],
+                fmt="%d",
+            )
+        y = vocoder.decode(outs)
+        write_wav(os.path.join(wav_dir, f"{utt}.wav"), y, vocoder.fs)
+
+    logging.info(
+        "decode finished: %d frames in %.1f s (avg %.1f mel-frames/sec)",
+        total_frames, total_sec, total_frames / max(total_sec, 1e-9),
+    )
+
+
+if __name__ == "__main__":
+    main()

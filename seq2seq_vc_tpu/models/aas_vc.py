@@ -1,0 +1,356 @@
+"""AAS-VC: non-autoregressive conformer VC with automatic alignment search.
+
+Capability match with reference ``models/aas_vc.py:38-650``: conformer
+encoder with encoder / post-encoder / decoder reduction factors, alignment
+module + MAS Viterbi durations + binarization loss, deterministic or
+stochastic (flow) duration predictor with a separately conv-subsampled
+duration-predictor input, Gaussian upsampling, conformer decoder
+(encoder-as-decoder) + feat_out + postnet.
+
+TPU-first changes:
+- the MAS Viterbi DP runs on device inside the jitted step
+  (``ops/mas.py``), not per batch item on CPU via numba;
+- all reshapes are fixed-shape (the collater pads time dims to the needed
+  multiples instead of truncating remainders);
+- inference takes a static maximum output length and returns valid lengths
+  (``out_lens``), keeping the whole path jittable.
+
+The diffsinger/prodiff decoder branches named in the reference are
+config-gated dead code there (classes absent from the snapshot —
+``models/aas_vc.py:207-230``) and are rejected here with a clear error.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..nn.alignment import AlignmentModule
+from ..nn.conformer import ConformerEncoder
+from ..nn.duration_predictor import DurationPredictor
+from ..nn.flows import StochasticDurationPredictor
+from ..nn.pre_postnets import Postnet
+from ..nn.transformer import Conv2dSubsampling
+from ..ops.mas import viterbi_decode
+from ..ops.masks import make_non_pad_mask
+from ..ops.upsampling import gaussian_upsampling
+from .common import conv2d_subsampled_lengths, nearest_interpolate, reduce_frames
+
+MAX_DP_OUTPUT = 10  # duration clamp (reference ``aas_vc.py:35``)
+
+
+class AASVC(nn.Module):
+    idim: int
+    odim: int
+    adim: int = 384
+    aheads: int = 4
+    elayers: int = 6
+    eunits: int = 1536
+    dlayers: int = 6
+    dunits: int = 1536
+    positionwise_layer_type: str = "conv1d"
+    positionwise_conv_kernel_size: int = 1
+    use_scaled_pos_enc: bool = True
+    use_batch_norm: bool = True
+    encoder_input_layer: str = "linear"
+    encoder_normalize_before: bool = True
+    decoder_normalize_before: bool = True
+    encoder_concat_after: bool = False
+    decoder_concat_after: bool = False
+    encoder_reduction_factor: int = 1
+    post_encoder_reduction_factor: int = 1
+    decoder_reduction_factor: int = 1
+    encoder_type: str = "conformer"
+    decoder_type: str = "conformer"
+    duration_predictor_type: str = "deterministic"
+    duration_predictor_use_encoder_outputs: bool = True
+    duration_predictor_input_dim: Optional[int] = None
+    duration_predictor_layers: int = 2
+    duration_predictor_chans: int = 384
+    duration_predictor_kernel_size: int = 3
+    duration_predictor_dropout_rate: float = 0.1
+    postnet_layers: int = 5
+    postnet_chans: int = 512
+    postnet_filts: int = 5
+    postnet_dropout_rate: float = 0.5
+    use_masking: bool = True  # consumed by the trainer's losses
+    conformer_rel_pos_type: str = "legacy"
+    conformer_pos_enc_layer_type: str = "rel_pos"
+    conformer_self_attn_layer_type: str = "rel_selfattn"
+    use_macaron_style_in_conformer: bool = True
+    use_cnn_in_conformer: bool = True
+    conformer_enc_kernel_size: int = 7
+    conformer_dec_kernel_size: int = 31
+    spk_embed_dim: Optional[int] = None
+    spk_embed_integration_type: str = "add"
+    transformer_enc_dropout_rate: float = 0.1
+    transformer_enc_positional_dropout_rate: float = 0.1
+    transformer_enc_attn_dropout_rate: float = 0.1
+    transformer_dec_dropout_rate: float = 0.1
+    transformer_dec_positional_dropout_rate: float = 0.1
+    transformer_dec_attn_dropout_rate: float = 0.1
+    stochastic_duration_predictor_kernel_size: int = 3
+    stochastic_duration_predictor_dropout_rate: float = 0.5
+    stochastic_duration_predictor_flows: int = 4
+    stochastic_duration_predictor_dds_conv_layers: int = 3
+    stochastic_duration_predictor_noise_scale: float = 0.8
+    init_type: str = "xavier_uniform"
+
+    def setup(self):
+        if self.encoder_type != "conformer":
+            raise NotImplementedError("AASVC supports conformer encoder only")
+        if self.decoder_type not in ("conformer",):
+            raise ValueError(
+                f"decoder_type {self.decoder_type!r} is not supported "
+                "(diffsinger/prodiff are absent from the reference snapshot too)"
+            )
+        pos_enc, self_attn = self._conformer_types()
+        self.encoder = ConformerEncoder(
+            idim=self.idim * self.encoder_reduction_factor,
+            attention_dim=self.adim,
+            attention_heads=self.aheads,
+            linear_units=self.eunits,
+            num_blocks=self.elayers,
+            input_layer=self.encoder_input_layer,
+            dropout_rate=self.transformer_enc_dropout_rate,
+            positional_dropout_rate=self.transformer_enc_positional_dropout_rate,
+            attention_dropout_rate=self.transformer_enc_attn_dropout_rate,
+            normalize_before=self.encoder_normalize_before,
+            concat_after=self.encoder_concat_after,
+            positionwise_layer_type=self.positionwise_layer_type,
+            positionwise_conv_kernel_size=self.positionwise_conv_kernel_size,
+            macaron_style=self.use_macaron_style_in_conformer,
+            pos_enc_layer_type=pos_enc,
+            selfattention_layer_type=self_attn,
+            use_cnn_module=self.use_cnn_in_conformer,
+            cnn_module_kernel=self.conformer_enc_kernel_size,
+        )
+        if self.spk_embed_dim is not None:
+            self.projection = nn.Dense(self.adim)
+
+        if self.duration_predictor_type == "deterministic":
+            self.duration_predictor = DurationPredictor(
+                n_layers=self.duration_predictor_layers,
+                n_chans=self.duration_predictor_chans,
+                kernel_size=self.duration_predictor_kernel_size,
+                dropout_rate=self.duration_predictor_dropout_rate,
+            )
+        elif self.duration_predictor_type == "stochastic":
+            self.duration_predictor = StochasticDurationPredictor(
+                channels=self.adim,
+                kernel_size=self.stochastic_duration_predictor_kernel_size,
+                dropout_rate=self.stochastic_duration_predictor_dropout_rate,
+                flows=self.stochastic_duration_predictor_flows,
+                dds_conv_layers=self.stochastic_duration_predictor_dds_conv_layers,
+            )
+        else:
+            raise ValueError(self.duration_predictor_type)
+
+        if not self.duration_predictor_use_encoder_outputs:
+            self.duration_predictor_projection = Conv2dSubsampling(self.adim)
+
+        self.alignment_module = AlignmentModule(
+            adim=self.adim * self.post_encoder_reduction_factor
+        )
+
+        self.decoder = ConformerEncoder(
+            idim=0,
+            attention_dim=self.adim * self.post_encoder_reduction_factor,
+            attention_heads=self.aheads,
+            linear_units=self.dunits,
+            num_blocks=self.dlayers,
+            input_layer=None,
+            dropout_rate=self.transformer_dec_dropout_rate,
+            positional_dropout_rate=self.transformer_dec_positional_dropout_rate,
+            attention_dropout_rate=self.transformer_dec_attn_dropout_rate,
+            normalize_before=self.decoder_normalize_before,
+            concat_after=self.decoder_concat_after,
+            positionwise_layer_type=self.positionwise_layer_type,
+            positionwise_conv_kernel_size=self.positionwise_conv_kernel_size,
+            macaron_style=self.use_macaron_style_in_conformer,
+            pos_enc_layer_type=pos_enc,
+            selfattention_layer_type=self_attn,
+            use_cnn_module=self.use_cnn_in_conformer,
+            cnn_module_kernel=self.conformer_dec_kernel_size,
+        )
+        self.feat_out = nn.Dense(self.odim * self.decoder_reduction_factor)
+        if self.postnet_layers > 0:
+            self.postnet = Postnet(
+                odim=self.odim,
+                n_layers=self.postnet_layers,
+                n_chans=self.postnet_chans,
+                n_filts=self.postnet_filts,
+                dropout_rate=self.postnet_dropout_rate,
+                use_norm=self.use_batch_norm,
+            )
+        else:
+            self.postnet = None
+
+    def _conformer_types(self):
+        pos_enc = self.conformer_pos_enc_layer_type
+        self_attn = self.conformer_self_attn_layer_type
+        if self.conformer_rel_pos_type == "legacy":
+            if pos_enc == "rel_pos":
+                pos_enc = "legacy_rel_pos"
+            if self_attn == "rel_selfattn":
+                self_attn = "legacy_rel_selfattn"
+        elif self.conformer_rel_pos_type != "latest":
+            raise ValueError(self.conformer_rel_pos_type)
+        return pos_enc, self_attn
+
+    def _integrate_with_spk_embed(self, hs, spembs):
+        spembs = spembs / jnp.maximum(
+            jnp.linalg.norm(spembs, axis=-1, keepdims=True), 1e-12
+        )
+        if self.spk_embed_integration_type == "add":
+            return hs + self.projection(spembs)[:, None, :]
+        tiled = jnp.broadcast_to(spembs[:, None, :], hs.shape[:2] + (spembs.shape[-1],))
+        return self.projection(jnp.concatenate([hs, tiled], axis=-1))
+
+    def _encode(self, xs, ilens, spembs, deterministic):
+        xs, ilens = reduce_frames(xs, ilens, self.encoder_reduction_factor)
+        x_masks = make_non_pad_mask(ilens, xs.shape[1])
+        hs, _ = self.encoder(xs, x_masks, deterministic=deterministic)
+        if self.encoder_input_layer == "conv2d":
+            ilens = conv2d_subsampled_lengths(ilens)
+        if self.spk_embed_dim is not None:
+            hs = self._integrate_with_spk_embed(hs, spembs)
+        hs, ilens = reduce_frames(hs, ilens, self.post_encoder_reduction_factor)
+        return hs, ilens
+
+    def _dp_features(self, hs, dp_inputs, deterministic):
+        """Duration-predictor conditioner: encoder states, or a separately
+        conv2d-subsampled feature nearest-resized to the encoder length."""
+        if self.duration_predictor_use_encoder_outputs:
+            return hs
+        dp, _ = self.duration_predictor_projection(dp_inputs, None)
+        return nearest_interpolate(dp, hs.shape[1])
+
+    def __call__(
+        self,
+        src_speech,
+        src_speech_lengths,
+        tgt_speech,
+        tgt_speech_lengths,
+        dp_inputs=None,
+        dp_lengths=None,
+        spembs=None,
+        deterministic: bool = False,
+    ) -> Dict[str, Any]:
+        """Training forward (reference ``aas_vc.py:473-530`` -> ``_forward``)."""
+        xs, ys = src_speech, tgt_speech
+        ilens, olens = src_speech_lengths, tgt_speech_lengths
+
+        hs, ilens_red = self._encode(xs, ilens, spembs, deterministic)
+        _dp_in = self._dp_features(hs, dp_inputs, deterministic)
+
+        ys_red, olens_red = reduce_frames(ys, olens, self.decoder_reduction_factor)
+
+        # alignment search (on device)
+        x_pad_mask = ~make_non_pad_mask(ilens_red, hs.shape[1])
+        log_p_attn = self.alignment_module(hs, ys_red, x_pad_mask)
+        ds, bin_loss = viterbi_decode(log_p_attn, ilens_red, olens_red)
+
+        ret: Dict[str, Any] = {}
+        h_nonpad = make_non_pad_mask(ilens_red, hs.shape[1])
+        if self.duration_predictor_type == "deterministic":
+            d_outs = self.duration_predictor(
+                _dp_in, ~h_nonpad, deterministic=deterministic
+            )
+            ret["d_outs"] = jnp.minimum(d_outs, MAX_DP_OUTPUT)
+        else:
+            dur_nll = self.duration_predictor(
+                _dp_in, h_nonpad, w=ds, deterministic=deterministic
+            )
+            ret["dur_nll"] = jnp.sum(dur_nll) / jnp.maximum(h_nonpad.sum(), 1)
+
+        hs_up = gaussian_upsampling(
+            hs,
+            ds,
+            make_non_pad_mask(olens_red, ys_red.shape[1]),
+            h_nonpad,
+        )
+
+        d_masks = make_non_pad_mask(olens_red, hs_up.shape[1])
+        zs, _ = self.decoder(hs_up, d_masks, deterministic=deterministic)
+        B = zs.shape[0]
+        before_outs = self.feat_out(zs).reshape(B, -1, self.odim)
+        if self.postnet is None:
+            after_outs = before_outs
+        else:
+            after_outs = before_outs + self.postnet(
+                before_outs, deterministic=deterministic
+            )
+
+        olens_adj = olens - olens % self.decoder_reduction_factor
+        ret.update(
+            before_outs=before_outs,
+            after_outs=after_outs,
+            ds=ds,
+            ilens=ilens_red,
+            bin_loss=bin_loss,
+            log_p_attn=log_p_attn,
+            olens_reduced=olens_red,
+            olens=olens_adj,
+            ys=ys,
+        )
+        return ret
+
+    def inference(
+        self,
+        src_speech,
+        src_speech_lengths,
+        dp_inputs=None,
+        spembs=None,
+        max_output_frames: Optional[int] = None,
+    ) -> Dict[str, Any]:
+        """NAR inference: predict durations, upsample, decode.
+
+        Returns outs (B, T_out_max * r_d, odim), d_outs (B, T_text), and
+        out_lens (B,) valid output frame counts.
+        """
+        xs, ilens = src_speech, src_speech_lengths
+        hs, ilens_red = self._encode(xs, ilens, spembs, True)
+        _dp_in = self._dp_features(hs, dp_inputs, True)
+        h_nonpad = make_non_pad_mask(ilens_red, hs.shape[1])
+
+        if self.duration_predictor_type == "deterministic":
+            d_outs = self.duration_predictor(
+                _dp_in, ~h_nonpad, is_inference=True, deterministic=True
+            )
+        else:
+            d_outs = self.duration_predictor(
+                _dp_in,
+                h_nonpad,
+                inverse=True,
+                noise_scale=self.stochastic_duration_predictor_noise_scale,
+                deterministic=True,
+            )
+        d_outs = jnp.minimum(d_outs, MAX_DP_OUTPUT)
+        d_outs = jnp.where(h_nonpad, d_outs, 0.0)
+
+        if max_output_frames is None:
+            max_output_frames = hs.shape[1] * MAX_DP_OUTPUT
+        out_lens_red = jnp.minimum(
+            d_outs.sum(-1).astype(jnp.int32), max_output_frames
+        )
+        out_lens_red = jnp.maximum(out_lens_red, 1)
+        h_masks = make_non_pad_mask(out_lens_red, max_output_frames)
+
+        hs_up = gaussian_upsampling(hs, d_outs, h_masks, h_nonpad)
+        zs, _ = self.decoder(hs_up, h_masks, deterministic=True)
+        B = zs.shape[0]
+        before_outs = self.feat_out(zs).reshape(B, -1, self.odim)
+        if self.postnet is None:
+            after_outs = before_outs
+        else:
+            after_outs = before_outs + self.postnet(before_outs, deterministic=True)
+
+        return {
+            "outs": after_outs,
+            "d_outs": d_outs,
+            "out_lens": out_lens_red * self.decoder_reduction_factor,
+        }

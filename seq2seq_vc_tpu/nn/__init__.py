@@ -24,4 +24,5 @@ from .transformer import (  # noqa: F401
 from .conformer import ConformerEncoder, ConformerEncoderLayer, ConvolutionModule  # noqa: F401
 from .pre_postnets import Prenet, Postnet  # noqa: F401
 from .duration_predictor import DurationPredictor  # noqa: F401
+from .flows import StochasticDurationPredictor  # noqa: F401
 from .alignment import AlignmentModule  # noqa: F401

@@ -53,11 +53,23 @@ class PositionalEncoding(nn.Module):
     d_model: int
     dropout_rate: float = 0.1
 
-    @nn.compact
+    def setup(self):
+        self.dropout = nn.Dropout(self.dropout_rate)
+
     def __call__(self, x, deterministic: bool = True):
         pe = sinusoidal_pe(x.shape[1], self.d_model, x.dtype)
         x = x * math.sqrt(self.d_model) + pe[None]
-        return nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
+        return self.dropout(x, deterministic=deterministic)
+
+    def encode_at(self, x, t, maxlen: int):
+        """Single-position variant for incremental decoding: x is (B, 1, d),
+        t a traced index into a maxlen-sized table. No dropout (decode)."""
+        import jax
+
+        pe = sinusoidal_pe(maxlen, self.d_model, x.dtype)
+        return x * math.sqrt(self.d_model) + jax.lax.dynamic_slice(
+            pe, (t, 0), (1, self.d_model)
+        )[None]
 
 
 class ScaledPositionalEncoding(nn.Module):
@@ -67,12 +79,22 @@ class ScaledPositionalEncoding(nn.Module):
     dropout_rate: float = 0.1
     init_alpha: float = 1.0
 
-    @nn.compact
+    def setup(self):
+        self.alpha = self.param(
+            "alpha", lambda _: jnp.asarray(self.init_alpha, jnp.float32)
+        )
+        self.dropout = nn.Dropout(self.dropout_rate)
+
     def __call__(self, x, deterministic: bool = True):
-        alpha = self.param("alpha", lambda _: jnp.asarray(self.init_alpha, jnp.float32))
         pe = sinusoidal_pe(x.shape[1], self.d_model, x.dtype)
-        x = x + alpha * pe[None]
-        return nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
+        x = x + self.alpha * pe[None]
+        return self.dropout(x, deterministic=deterministic)
+
+    def encode_at(self, x, t, maxlen: int):
+        import jax
+
+        pe = sinusoidal_pe(maxlen, self.d_model, x.dtype)
+        return x + self.alpha * jax.lax.dynamic_slice(pe, (t, 0), (1, self.d_model))[None]
 
 
 class RelPositionalEncoding(nn.Module):

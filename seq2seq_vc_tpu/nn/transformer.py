@@ -408,13 +408,10 @@ class DecoderLayer(nn.Module):
         v_cache = jax.lax.dynamic_update_slice(v_cache, v_new, (0, 0, t, 0))
         maxlen = k_cache.shape[2]
         valid = (jnp.arange(maxlen) <= t)[None, None, None, :]  # (1,1,1,maxlen)
-        q = x
-        sa = self.self_attn.attend_with_kv(q, k_cache, v_cache, mask=None)
-        # attend_with_kv has no mask hook for the 4D valid mask; redo inline:
         from .attention import _split_heads, _merge_heads
         from ..ops.attention import scaled_dot_attention
 
-        qh = _split_heads(self.self_attn.linear_q(q), self.n_head)
+        qh = _split_heads(self.self_attn.linear_q(x), self.n_head)
         sa = _merge_heads(scaled_dot_attention(qh, k_cache, v_cache, mask=valid))
         sa = self.self_attn.linear_out(sa)
         x = residual + sa
@@ -566,20 +563,9 @@ class Decoder(nn.Module):
 
         Returns: (z_t (B, adim), new_cache, cross_attn_w stacked (L, B, H, 1, Tmem)).
         """
-        d = self.attention_dim
-        if self.pos_enc_type == "scaled":
-            alpha = self.pos_enc.get_variable("params", "alpha")
-            maxpe = cache["k"].shape[3]
-            pe = sinusoidal_pe(maxpe, d)
-            x = y_t + alpha * jax.lax.dynamic_slice(pe, (t, 0), (1, d))[None]
-        elif self.pos_enc_type == "abs":
-            maxpe = cache["k"].shape[3]
-            pe = sinusoidal_pe(maxpe, d)
-            x = y_t * jnp.sqrt(jnp.asarray(d, y_t.dtype)) + jax.lax.dynamic_slice(
-                pe, (t, 0), (1, d)
-            )[None]
-        else:
+        if self.pos_enc_type not in ("scaled", "abs"):
             raise ValueError(f"step() unsupported pos_enc_type {self.pos_enc_type}")
+        x = self.pos_enc.encode_at(y_t, t, cache["k"].shape[3])
 
         new_k, new_v, cross_ws = [], [], []
         for i, layer in enumerate(self.layers):

@@ -1,0 +1,277 @@
+"""Data pipeline: datasets, collaters, batching.
+
+Capability match with reference ``datasets/audio_mel_dataset.py`` (dir-glob
+and scp datasets, ``ParallelVCMelDataset`` with utt-id set matching and
+duration loading, ``SourceVCMelDataset``) and ``collaters/*``
+(pad + lengths + stop labels).
+
+TPU-first differences:
+- the collaters pad every time axis up to a *bucket multiple* so the jitted
+  train step sees a small set of shapes (bounded recompiles) instead of a
+  new shape per batch;
+- batches are built length-sorted (minimal padding) and the batch order is
+  shuffled per epoch — replacing DataLoader+DistributedSampler; under a
+  mesh the whole batch is sharded across devices by ``parallel.shard_batch``.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..utils.io import HDF5ScpLoader, NpyScpLoader, find_files, get_basename, read_hdf5
+
+
+def _make_loader(path: str, feat_key: str = "feats"):
+    """Return {utt_id: load()} style dict-like for an scp file or dump dir."""
+    if os.path.isdir(path):
+        files = sorted(find_files(path, "*.h5"))
+        mapping = {get_basename(f): f for f in files}
+
+        class _DirLoader:
+            def __init__(self, mapping, key):
+                self.mapping = mapping
+                self.key = key
+
+            def keys(self):
+                return self.mapping.keys()
+
+            def __getitem__(self, utt):
+                return read_hdf5(self.mapping[utt], self.key)
+
+        return _DirLoader(mapping, feat_key)
+    if path.endswith(".scp") or os.path.isfile(path):
+        with open(path) as f:
+            first = f.readline().strip().split()
+        if len(first) > 1 and first[1].endswith(".npy"):
+            return NpyScpLoader(path)
+        return HDF5ScpLoader(path, feat_key)
+    raise FileNotFoundError(path)
+
+
+class ParallelVCMelDataset:
+    """Paired (source, target) features with utt-id matching
+    (reference ``audio_mel_dataset.py:346-406``)."""
+
+    def __init__(
+        self,
+        src_feats: str,
+        trg_feats: str,
+        dp_feats: Optional[str] = None,
+        durations_dir: Optional[str] = None,
+        feat_key: str = "feats",
+        return_utt_id: bool = True,
+        reduction_factor: int = 1,
+        allow_cache: bool = False,
+    ):
+        self.src = _make_loader(src_feats, feat_key)
+        self.trg = _make_loader(trg_feats, feat_key)
+        self.dp = _make_loader(dp_feats, feat_key) if dp_feats else None
+        self.durations_dir = durations_dir
+        self.return_utt_id = return_utt_id
+        self.reduction_factor = reduction_factor
+
+        src_ids, trg_ids = set(self.src.keys()), set(self.trg.keys())
+        common = sorted(src_ids & trg_ids)
+        if not common:
+            raise ValueError("no common utt ids between source and target")
+        if len(common) != len(src_ids) or len(common) != len(trg_ids):
+            logging.warning(
+                "utt-id mismatch: %d src, %d trg, %d common",
+                len(src_ids), len(trg_ids), len(common),
+            )
+        self.utt_ids = common
+        self._cache: Dict[int, Any] = {} if allow_cache else None
+
+    def __len__(self):
+        return len(self.utt_ids)
+
+    def __getitem__(self, idx: int) -> Dict[str, Any]:
+        if self._cache is not None and idx in self._cache:
+            return self._cache[idx]
+        utt = self.utt_ids[idx]
+        item: Dict[str, Any] = {
+            "utt_id": utt,
+            "src_feat": np.asarray(self.src[utt], np.float32),
+            "trg_feat": np.asarray(self.trg[utt], np.float32),
+        }
+        if self.dp is not None:
+            item["dp_input"] = np.asarray(self.dp[utt], np.float32)
+        if self.durations_dir is not None:
+            dur_path = os.path.join(self.durations_dir, f"{utt}.txt")
+            durs = np.loadtxt(dur_path, dtype=np.int64).reshape(-1)
+            item["duration"] = durs
+        if self._cache is not None:
+            self._cache[idx] = item
+        return item
+
+
+class SourceVCMelDataset:
+    """Source-only features for decoding (reference ``audio_mel_dataset.py:505-565``)."""
+
+    def __init__(
+        self,
+        src_feats: str,
+        dp_feats: Optional[str] = None,
+        feat_key: str = "feats",
+        return_utt_id: bool = True,
+    ):
+        self.src = _make_loader(src_feats, feat_key)
+        self.dp = _make_loader(dp_feats, feat_key) if dp_feats else None
+        self.utt_ids = sorted(self.src.keys())
+
+    def __len__(self):
+        return len(self.utt_ids)
+
+    def __getitem__(self, idx: int) -> Dict[str, Any]:
+        utt = self.utt_ids[idx]
+        item = {"utt_id": utt, "src_feat": np.asarray(self.src[utt], np.float32)}
+        if self.dp is not None:
+            item["dp_input"] = np.asarray(self.dp[utt], np.float32)
+        return item
+
+
+def _round_up(n: int, multiple: int) -> int:
+    return ((n + multiple - 1) // multiple) * multiple
+
+
+def pad_batch(arrays: Sequence[np.ndarray], multiple: int) -> np.ndarray:
+    """Stack variable-length (T, ...) arrays, padding T to a bucket multiple."""
+    maxlen = _round_up(max(a.shape[0] for a in arrays), multiple)
+    out = np.zeros((len(arrays), maxlen) + arrays[0].shape[1:], arrays[0].dtype)
+    for i, a in enumerate(arrays):
+        out[i, : a.shape[0]] = a
+    return out
+
+
+class ARVCCollater:
+    """AR VC batch: xs/ilens/ys/labels/olens (reference ``collaters/ar_vc.py``)."""
+
+    def __init__(self, pad_multiple: int = 32, reduction_factor: int = 2):
+        # target bucket must also divide by the decoder reduction factor
+        self.src_multiple = pad_multiple
+        self.trg_multiple = int(np.lcm(pad_multiple, reduction_factor))
+
+    def __call__(self, batch: List[Dict[str, Any]]) -> Dict[str, Any]:
+        xs = [b["src_feat"] for b in batch]
+        ys = [b["trg_feat"] for b in batch]
+        ilens = np.array([x.shape[0] for x in xs], np.int32)
+        olens = np.array([y.shape[0] for y in ys], np.int32)
+        xs = pad_batch(xs, self.src_multiple)
+        ys = pad_batch(ys, self.trg_multiple)
+        labels = np.zeros(ys.shape[:2], np.float32)
+        for i, l in enumerate(olens):
+            labels[i, l - 1 :] = 1.0
+        return {
+            "xs": xs,
+            "ilens": ilens,
+            "ys": ys,
+            "olens": olens,
+            "labels": labels,
+            "utt_ids": [b["utt_id"] for b in batch],
+        }
+
+
+class NARVCCollater:
+    """NAR VC batch: + dp_inputs and optional teacher durations
+    (reference ``collaters/nar_vc.py:88-166``)."""
+
+    def __init__(
+        self,
+        pad_multiple: int = 32,
+        encoder_reduction_factor: int = 1,
+        post_encoder_reduction_factor: int = 1,
+        decoder_reduction_factor: int = 1,
+    ):
+        self.src_multiple = int(
+            np.lcm(
+                np.lcm(pad_multiple, max(encoder_reduction_factor, 1)),
+                max(post_encoder_reduction_factor, 1),
+            )
+        )
+        self.trg_multiple = int(np.lcm(pad_multiple, max(decoder_reduction_factor, 1)))
+
+    def __call__(self, batch: List[Dict[str, Any]]) -> Dict[str, Any]:
+        xs = [b["src_feat"] for b in batch]
+        ys = [b["trg_feat"] for b in batch]
+        ilens = np.array([x.shape[0] for x in xs], np.int32)
+        olens = np.array([y.shape[0] for y in ys], np.int32)
+        items: Dict[str, Any] = {
+            "xs": pad_batch(xs, self.src_multiple),
+            "ilens": ilens,
+            "ys": pad_batch(ys, self.trg_multiple),
+            "olens": olens,
+            "utt_ids": [b["utt_id"] for b in batch],
+        }
+        if "dp_input" in batch[0]:
+            dps = [b["dp_input"] for b in batch]
+            items["dp_inputs"] = pad_batch(dps, self.src_multiple)
+            items["dplens"] = np.array([d.shape[0] for d in dps], np.int32)
+        if "duration" in batch[0]:
+            ds = [b["duration"] for b in batch]
+            items["durations"] = pad_batch(ds, self.src_multiple)
+            items["duration_lens"] = np.array([d.shape[0] for d in ds], np.int32)
+        return items
+
+
+class DataLoader:
+    """Length-sorted batching with per-epoch shuffling of batch order.
+
+    Sorting by target length minimizes padding (fewer wasted MXU cycles and
+    fewer bucket shapes); shuffling the batch order keeps SGD stochastic.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        collater: Callable,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = False,
+        sort_key: str = "trg_feat",
+    ):
+        self.dataset = dataset
+        self.collater = collater
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.epoch = 0
+        self._rng = np.random.default_rng(seed)
+        self._order = None  # computed lazily on first epoch (one metadata pass)
+        self._sort_key = sort_key
+
+    def _build_batches(self) -> List[List[int]]:
+        if self._order is None:
+            lens = []
+            for i in range(len(self.dataset)):
+                item = self.dataset[i]
+                key = self._sort_key if self._sort_key in item else "src_feat"
+                lens.append(item[key].shape[0])
+            self._order = np.argsort(np.asarray(lens), kind="stable")
+        order = self._order
+        batches = [
+            list(order[i : i + self.batch_size])
+            for i in range(0, len(order), self.batch_size)
+        ]
+        if self.drop_last and batches and len(batches[-1]) < self.batch_size:
+            batches = batches[:-1]
+        return batches
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self):
+        batches = self._build_batches()
+        if self.shuffle:
+            perm = self._rng.permutation(len(batches))
+            batches = [batches[int(i)] for i in perm]
+        self.epoch += 1
+        for idxs in batches:
+            yield self.collater([self.dataset[int(i)] for i in idxs])

@@ -1,0 +1,36 @@
+"""FS2-VC trainer (reference ``trainers/nar_vc.py:22-205``): L1 +
+DurationPredictorLoss against teacher durations."""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax.numpy as jnp
+
+from .trainer import Trainer
+
+
+class NARVCTrainer(Trainer):
+    def loss_fn(self, params, batch, rngs, flags):
+        out = self.model.apply(
+            params,
+            batch["xs"],
+            batch["ilens"],
+            batch["ys"],
+            batch["olens"],
+            batch["durations"],
+            batch.get("duration_lens"),
+            batch.get("dp_inputs"),
+            batch.get("dplens"),
+            deterministic=False,
+            rngs=rngs,
+        )
+        l1 = self.criterion["L1Loss"](
+            out["after_outs"], out["before_outs"], out["ys"], out["olens"]
+        )
+        # teacher durations are frame counts; predictor output is log-domain
+        ds = batch["durations"][:, : out["d_outs"].shape[1]]
+        dur = self.criterion["DurationPredictorLoss"](
+            out["d_outs"], jnp.asarray(ds), out["ilens"]
+        )
+        return l1 + dur, {"l1_loss": l1, "duration_loss": dur}

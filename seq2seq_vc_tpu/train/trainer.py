@@ -1,0 +1,238 @@
+"""Step-driven trainer base.
+
+Capability match with reference ``trainers/base.py:18-227``: step-driven run
+loop with log/eval/save intervals, checkpoint save/load (params, optimizer,
+steps, epochs), TensorBoard scalars, intermediate dev-sample generation
+hooks, and module freezing (handled in the optax chain — see train/optim).
+
+TPU-first: the entire loss+grad+update is one jitted function per trainer
+subclass, donated and cached per batch bucket shape; batches are sharded
+over the mesh's data axis and pjit inserts the gradient all-reduce
+(replacing DDP/NCCL — SURVEY.md §2.10). Rank gating uses
+``parallel.is_coordinator``.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from collections import defaultdict
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+from ..core.checkpoint import load_checkpoint, save_checkpoint
+from ..parallel.mesh import is_coordinator, shard_batch
+from .state import TrainState
+
+
+class Trainer:
+    """Base trainer. Subclasses implement ``loss_fn(params, batch, rngs,
+    flags) -> (loss, metrics)`` and optionally
+    ``generate_intermediate(batch, outdir)``."""
+
+    def __init__(
+        self,
+        model,
+        state: TrainState,
+        criterion: Dict[str, Any],
+        config: Dict[str, Any],
+        train_loader,
+        dev_loader=None,
+        mesh=None,
+        rng=None,
+        writer=None,
+    ):
+        self.model = model
+        self.state = state
+        self.criterion = criterion
+        self.config = config
+        self.train_loader = train_loader
+        self.dev_loader = dev_loader
+        self.mesh = mesh
+        self.rng = rng if rng is not None else jax.random.PRNGKey(config.get("seed", 0))
+        self.steps = int(state.steps)
+        self.epochs = 0
+        self.finish_train = False
+        self.total_train_loss: Dict[str, float] = defaultdict(float)
+        self.outdir = config.get("outdir", "exp")
+        self.writer = writer
+        if self.writer is None and is_coordinator():
+            try:
+                from tensorboardX import SummaryWriter
+
+                self.writer = SummaryWriter(self.outdir)
+            except Exception:  # pragma: no cover - tensorboard optional
+                self.writer = None
+        self._jit_cache: Dict[Any, Any] = {}
+        self._step_times: list = []
+
+    # ------------------------------------------------------------------ api
+    def run(self):
+        self.tick = time.time()
+        max_steps = self.config["train_max_steps"]
+        logging.info("training starts: %d steps", max_steps)
+        while not self.finish_train:
+            self._train_epoch()
+        logging.info("finished training (%d steps)", self.steps)
+
+    # ----------------------------------------------------------------- core
+    def loss_fn(self, params, batch, rngs, flags):
+        raise NotImplementedError
+
+    def _flags(self) -> Any:
+        """Hashable static flags for the jitted step (e.g. dp-loss gate)."""
+        return ()
+
+    def _array_batch(self, batch: Dict[str, Any]) -> Dict[str, Any]:
+        arrays = {
+            k: v for k, v in batch.items() if isinstance(v, np.ndarray)
+        }
+        if self.mesh is not None:
+            arrays = shard_batch(arrays, self.mesh)
+        return arrays
+
+    def _get_step_fn(self, flags):
+        if flags in self._jit_cache:
+            return self._jit_cache[flags]
+
+        def step(state, batch, rng):
+            k1, k2 = jax.random.split(rng)
+            rngs = {"dropout": k1, "noise": k2}
+
+            def lf(params):
+                return self.loss_fn(params, batch, rngs, flags)
+
+            (loss, metrics), grads = jax.value_and_grad(lf, has_aux=True)(state.params)
+            new_state = state.apply_gradients(grads)
+            metrics = dict(metrics)
+            metrics["loss"] = loss
+            return new_state, metrics
+
+        fn = jax.jit(step, donate_argnums=(0,))
+        self._jit_cache[flags] = fn
+        return fn
+
+    def _get_eval_fn(self, flags):
+        key = ("eval", flags)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+
+        def eval_step(params, batch, rng):
+            k1, k2 = jax.random.split(rng)
+            return self.loss_fn(params, batch, {"dropout": k1, "noise": k2}, flags)
+
+        fn = jax.jit(eval_step)
+        self._jit_cache[key] = fn
+        return fn
+
+    def _train_step(self, batch: Dict[str, Any]):
+        arrays = self._array_batch(batch)
+        rng = jax.random.fold_in(self.rng, self.steps)
+        fn = self._get_step_fn(self._flags())
+        t0 = time.time()
+        self.state, metrics = fn(self.state, arrays, rng)
+        jax.block_until_ready(metrics["loss"])
+        self._step_times.append(time.time() - t0)
+        for k, v in metrics.items():
+            self.total_train_loss[f"train/{k}"] += float(v)
+        self.steps += 1
+        self._check_train_finish()
+
+    def _train_epoch(self):
+        for batch in self.train_loader:
+            self._train_step(batch)
+            if is_coordinator():
+                self._check_log_interval()
+                self._check_eval_interval()
+                self._check_save_interval()
+            if self.finish_train:
+                return
+        self.epochs += 1
+
+    # ------------------------------------------------------------ intervals
+    def _check_train_finish(self):
+        if self.steps >= self.config["train_max_steps"]:
+            self.finish_train = True
+
+    def _check_log_interval(self):
+        interval = self.config.get("log_interval_steps", 100)
+        if self.steps % interval == 0 and self.steps > 0 and self.total_train_loss:
+            avg_t = float(np.mean(self._step_times)) if self._step_times else 0.0
+            for key, value in self.total_train_loss.items():
+                avg = value / interval
+                logging.info("(steps: %d) %s = %.4f.", self.steps, key, avg)
+                if self.writer:
+                    self.writer.add_scalar(key, avg, self.steps)
+            if self.writer:
+                self.writer.add_scalar("train/step_time_sec", avg_t, self.steps)
+            self.total_train_loss = defaultdict(float)
+            self._step_times = []
+
+    def _check_eval_interval(self):
+        interval = self.config.get("eval_interval_steps", 0)
+        if interval and self.steps % interval == 0 and self.dev_loader is not None:
+            self._eval_epoch()
+
+    def _check_save_interval(self):
+        interval = self.config.get("save_interval_steps", 0)
+        if interval and self.steps % interval == 0:
+            path = os.path.join(self.outdir, f"checkpoint-{self.steps}steps.ckpt")
+            self.save_checkpoint(path)
+            logging.info("saved checkpoint @ %d steps", self.steps)
+
+    # ----------------------------------------------------------------- eval
+    def _eval_epoch(self):
+        total: Dict[str, float] = defaultdict(float)
+        n = 0
+        first_batch = None
+        eval_fn = self._get_eval_fn(self._flags())
+        for batch in self.dev_loader:
+            arrays = self._array_batch(batch)
+            if first_batch is None:
+                first_batch = batch
+            loss, metrics = eval_fn(self.state.params, arrays, jax.random.PRNGKey(1))
+            total["loss"] += float(loss)
+            for k, v in metrics.items():
+                total[k] += float(v)
+            n += 1
+        for k, v in total.items():
+            avg = v / max(n, 1)
+            logging.info("(steps: %d) dev/%s = %.4f.", self.steps, k, avg)
+            if self.writer:
+                self.writer.add_scalar(f"dev/{k}", avg, self.steps)
+        if first_batch is not None:
+            try:
+                outdir = os.path.join(
+                    self.outdir, "predictions", f"{self.steps}steps"
+                )
+                self.generate_intermediate(first_batch, outdir)
+            except NotImplementedError:
+                pass
+            except Exception as e:  # pragma: no cover
+                logging.warning("intermediate generation failed: %s", e)
+
+    def generate_intermediate(self, batch, outdir: str):
+        raise NotImplementedError
+
+    # ----------------------------------------------------------- checkpoint
+    def save_checkpoint(self, path: str):
+        save_checkpoint(
+            path, self.state.params, self.state.opt_state, self.steps, self.epochs
+        )
+
+    def load_checkpoint(self, path: str, load_only_params: bool = False):
+        restored = load_checkpoint(
+            path,
+            self.state.params,
+            None if load_only_params else self.state.opt_state,
+        )
+        self.state = self.state.replace(params=restored["model"])
+        if not load_only_params:
+            self.state = self.state.replace(
+                opt_state=restored["optimizer"], steps=restored["steps"]
+            )
+            self.steps = restored["steps"]
+            self.epochs = restored["epochs"]

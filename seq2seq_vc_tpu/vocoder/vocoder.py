@@ -1,0 +1,86 @@
+"""Vocoder wrapper: feature denorm/renorm chain + waveform synthesis.
+
+Capability match with reference ``vocoder/vocoder.py:11-63``: the VC model
+emits features normalized by the *target-speaker* stats; the vocoder may
+have been trained with its own stats, so decode denormalizes by trg stats
+and renormalizes by vocoder stats before synthesis, and logs RTF.
+
+Backends: 'griffin_lim' (default when the config has no ``vocoder:`` block,
+reference ``bin/vc_train.py:384-394``) and 'hifigan' (JAX HiFi-GAN
+generator, ``vocoder/hifigan.py``).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from ..dsp.stats import denormalize, normalize
+from ..utils.io import read_hdf5
+from .griffin_lim import Spectrogram2Waveform
+
+
+class Vocoder:
+    def __init__(
+        self,
+        backend: Any,
+        fs: int,
+        trg_stats: Optional[Dict[str, np.ndarray]] = None,
+        vocoder_stats: Optional[Dict[str, np.ndarray]] = None,
+    ):
+        """Args:
+            backend: callable (T, odim) features -> (N,) waveform.
+            trg_stats: {'mean','scale'} of the VC target features.
+            vocoder_stats: {'mean','scale'} the vocoder was trained with.
+        """
+        self.backend = backend
+        self.fs = fs
+        self.trg_stats = trg_stats
+        self.vocoder_stats = vocoder_stats
+
+    def decode(self, feats: np.ndarray) -> np.ndarray:
+        if self.trg_stats is not None:
+            feats = denormalize(feats, self.trg_stats["mean"], self.trg_stats["scale"])
+        if self.vocoder_stats is not None:
+            feats = normalize(
+                feats, self.vocoder_stats["mean"], self.vocoder_stats["scale"]
+            )
+        start = time.time()
+        y = np.asarray(self.backend(feats))
+        rtf = (time.time() - start) / (len(y) / self.fs)
+        logging.info("vocoder RTF = %.06f", rtf)
+        return y
+
+
+def get_vocoder(config: Dict[str, Any], trg_stats=None) -> Vocoder:
+    """Build a vocoder from a training config (same schema as the reference:
+    an optional ``vocoder:`` block with checkpoint/config/stats; Griffin-Lim
+    otherwise)."""
+    fs = config.get("sampling_rate", 16000)
+    voc_cfg = config.get("vocoder") or {}
+    if voc_cfg.get("checkpoint"):
+        from .hifigan import load_hifigan_backend
+
+        vocoder_stats = None
+        if voc_cfg.get("stats"):
+            vocoder_stats = {
+                "mean": read_hdf5(voc_cfg["stats"], "mean"),
+                "scale": read_hdf5(voc_cfg["stats"], "scale"),
+            }
+        backend = load_hifigan_backend(voc_cfg["checkpoint"], voc_cfg.get("config"))
+        return Vocoder(backend, fs, trg_stats, vocoder_stats)
+    backend = Spectrogram2Waveform(
+        fs=fs,
+        n_fft=config.get("fft_size", 1024),
+        n_shift=config.get("hop_size", 256),
+        n_mels=config.get("num_mels", 80),
+        win_length=config.get("win_length"),
+        window=config.get("window", "hann"),
+        fmin=config.get("fmin"),
+        fmax=config.get("fmax"),
+        griffin_lim_iters=config.get("griffin_lim_iters", 32),
+    )
+    return Vocoder(backend, fs, trg_stats, None)
