@@ -1,0 +1,158 @@
+"""Signal analysis for objective evaluation.
+
+Native replacement for reference ``utils/signal.py`` (which uses
+pyworld/pysptk — not in this image): STFT power spectral envelope at a 5 ms
+shift, mel-cepstral analysis via real cepstrum + SPTK ``freqt`` frequency
+warping (all-pass alpha), normalized power (npow) VAD, and autocorrelation
+F0. If pyworld/pysptk ARE importable, ``world_extract`` uses them for exact
+parity with the reference; otherwise the native chain is used (documented
+deviation: cheaptrick/harvest replaced by STFT envelope + ACF pitch; MCD
+trends track the reference since both operands go through the same
+analysis).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+from scipy.signal import firwin, lfilter
+
+MCEP_DIM = 39
+MCEP_ALPHA = 0.466
+MCEP_SHIFT = 5  # ms
+MCEP_FFTL = 1024
+
+
+def low_cut_filter(x: np.ndarray, fs: int, cutoff: float = 70) -> np.ndarray:
+    nyquist = fs // 2
+    fil = firwin(255, cutoff / nyquist, pass_zero=False)
+    return lfilter(fil, 1, x)
+
+
+def freqt(ceps: np.ndarray, order: int, alpha: float) -> np.ndarray:
+    """SPTK frequency transform: warp a cepstrum onto the mel axis.
+
+    ceps: (..., M+1) input cepstra; returns (..., order+1).
+    """
+    ceps = np.atleast_2d(ceps)
+    T, m1 = ceps.shape
+    beta = 1.0 - alpha ** 2
+    out = np.zeros((T, order + 1))
+    d = np.zeros_like(out)
+    for i in range(m1 - 1, -1, -1):
+        d[:] = out
+        out[:, 0] = ceps[:, i] + alpha * d[:, 0]
+        if order >= 1:
+            out[:, 1] = beta * d[:, 0] + alpha * d[:, 1]
+        for m in range(2, order + 1):
+            out[:, m] = d[:, m - 1] + alpha * (d[:, m] - out[:, m - 1])
+    return out
+
+
+def sp2mc(powerspec: np.ndarray, order: int, alpha: float) -> np.ndarray:
+    """Power spectrum (T, fftl/2+1) -> mel-cepstrum (T, order+1).
+
+    pysptk-equivalent pipeline: log power -> real cepstrum (irfft) -> halve
+    c0 -> freqt warping.
+    """
+    logsp = np.log(np.maximum(powerspec, 1e-30))
+    c = np.fft.irfft(logsp, axis=-1)  # (T, fftl)
+    half = c.shape[-1] // 2
+    c = c[:, : half + 1].copy()
+    c[:, 0] /= 2.0
+    return freqt(c, order, alpha)
+
+
+def spectral_envelope(x: np.ndarray, fs: int, fftl: int = MCEP_FFTL, shift_ms: float = MCEP_SHIFT):
+    """Power spectrogram at a fixed frame shift (cheaptrick stand-in)."""
+    hop = int(fs * shift_ms / 1000)
+    win_len = fftl
+    w = np.hanning(win_len + 1)[:-1]
+    pad = fftl // 2
+    xp = np.pad(x, pad, mode="reflect")
+    n = 1 + (len(xp) - win_len) // hop
+    idx = np.arange(n)[:, None] * hop + np.arange(win_len)[None, :]
+    frames = xp[idx] * w
+    spec = np.abs(np.fft.rfft(frames, n=fftl, axis=-1)) ** 2
+    return spec
+
+
+def spc2npow(spectrogram: np.ndarray) -> np.ndarray:
+    """Normalized power in dB per frame (reference ``signal.py:32-76``)."""
+    fftl2 = spectrogram.shape[1] - 1
+    fftl = fftl2 * 2
+    power = (
+        spectrogram[:, 0]
+        + spectrogram[:, fftl2]
+        + 2.0 * spectrogram[:, 1:fftl2].sum(axis=1)
+    ) / fftl
+    meanpow = np.mean(power)
+    return 10.0 * np.log10(np.maximum(power / meanpow, 1e-30))
+
+
+def extfrm(data: np.ndarray, npow: np.ndarray, power_threshold: float = -20):
+    """Keep frames whose normalized power exceeds the threshold."""
+    assert data.shape[0] == len(npow)
+    return data[npow > power_threshold]
+
+
+def acf_f0(
+    x: np.ndarray,
+    fs: int,
+    f0min: float,
+    f0max: float,
+    shift_ms: float = MCEP_SHIFT,
+    voicing_threshold: float = 0.45,
+) -> np.ndarray:
+    """Autocorrelation pitch track (harvest stand-in): (T,) Hz, 0=unvoiced."""
+    hop = int(fs * shift_ms / 1000)
+    win = int(fs * 0.04)  # 40 ms analysis window
+    lag_min = max(int(fs / f0max), 2)
+    lag_max = min(int(fs / f0min), win - 1)
+    n = max(1 + (len(x) - win) // hop, 1)
+    xpad = np.pad(x, (0, max(0, win + n * hop - len(x))))
+    f0 = np.zeros(n)
+    frame_pow = np.zeros(n)
+    for t in range(n):
+        fr = xpad[t * hop : t * hop + win]
+        fr = fr - fr.mean()
+        frame_pow[t] = np.mean(fr ** 2)
+        ac = np.correlate(fr, fr, mode="full")[win - 1 :]
+        if ac[0] <= 0:
+            continue
+        ac = ac / ac[0]
+        seg = ac[lag_min : lag_max + 1]
+        if len(seg) == 0:
+            continue
+        k = int(np.argmax(seg)) + lag_min
+        if ac[k] > voicing_threshold:
+            f0[t] = fs / k
+    # power gate: silence is unvoiced
+    pow_db = 10 * np.log10(np.maximum(frame_pow, 1e-12))
+    f0[pow_db < pow_db.max() - 40] = 0.0
+    return f0
+
+
+def world_extract(x: np.ndarray, fs: int, f0min: float, f0max: float) -> Dict[str, np.ndarray]:
+    """Feature extraction for MCD/F0 metrics. Uses pyworld+pysptk when
+    importable (reference parity), else the native chain."""
+    x = np.asarray(x, np.float64) * np.iinfo(np.int16).max
+    x = low_cut_filter(x, fs)
+    try:  # exact reference path if the packages exist
+        import pyworld as pw
+        import pysptk
+
+        f0, time_axis = pw.harvest(
+            x, fs, f0_floor=f0min, f0_ceil=f0max, frame_period=MCEP_SHIFT
+        )
+        sp = pw.cheaptrick(x, f0, time_axis, fs, fft_size=MCEP_FFTL)
+        mcep = pysptk.sp2mc(sp, MCEP_DIM, MCEP_ALPHA)
+    except ImportError:
+        sp = spectral_envelope(x / np.iinfo(np.int16).max, fs)
+        mcep = sp2mc(sp, MCEP_DIM, MCEP_ALPHA)
+        f0 = acf_f0(x / np.iinfo(np.int16).max, fs, f0min, f0max)
+        L = min(len(f0), len(sp))
+        sp, mcep, f0 = sp[:L], mcep[:L], f0[:L]
+    npow = spc2npow(sp)
+    return {"sp": sp, "mcep": mcep, "f0": f0, "npow": npow}

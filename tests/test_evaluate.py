@@ -1,0 +1,104 @@
+"""Evaluation tests: DTW exactness, freqt/cepstral math, F0 tracking, MCD
+self-consistency."""
+
+import numpy as np
+import pytest
+
+from seq2seq_vc_tpu.evaluate import (
+    calculate_mcd_f0,
+    character_error_rate,
+    dtw_path,
+    levenshtein,
+    word_error_rate,
+)
+from seq2seq_vc_tpu.evaluate.signal import acf_f0, freqt, sp2mc, spc2npow, spectral_envelope
+
+
+def np_dtw_reference(x, y):
+    """Naive O(T1*T2) DTW for cross-checking the vectorized version."""
+    t1, t2 = len(x), len(y)
+    d = np.sqrt(((x[:, None, :] - y[None, :, :]) ** 2).sum(-1))
+    cost = np.full((t1 + 1, t2 + 1), np.inf)
+    cost[0, 0] = 0
+    for i in range(1, t1 + 1):
+        for j in range(1, t2 + 1):
+            cost[i, j] = d[i - 1, j - 1] + min(
+                cost[i - 1, j - 1], cost[i - 1, j], cost[i, j - 1]
+            )
+    return cost[t1, t2]
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_dtw_matches_naive_dp(seed):
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((23, 4))
+    y = rng.standard_normal((31, 4))
+    got, path = dtw_path(x, y)
+    want = np_dtw_reference(x, y)
+    assert got == pytest.approx(want, rel=1e-10)
+    # path validity: monotone, endpoints, unit steps
+    assert path[0] == (0, 0) and path[-1] == (22, 30)
+    steps = np.diff(np.asarray(path), axis=0)
+    assert (steps >= 0).all() and (steps <= 1).all() and (steps.sum(1) >= 1).all()
+
+
+def test_dtw_identity():
+    x = np.random.default_rng(3).standard_normal((10, 3))
+    dist, path = dtw_path(x, x)
+    assert dist == pytest.approx(0.0, abs=1e-9)
+    assert path == [(i, i) for i in range(10)]
+
+
+def test_freqt_alpha_zero_is_truncation():
+    c = np.random.default_rng(4).standard_normal((2, 20))
+    out = freqt(c, 9, 0.0)
+    np.testing.assert_allclose(out, c[:, :10], atol=1e-12)
+
+
+def test_sp2mc_reconstructs_flat_spectrum():
+    """A flat power spectrum has log-spectrum c0 only."""
+    sp = np.full((3, 513), 4.0)
+    mc = sp2mc(sp, 12, 0.42)
+    np.testing.assert_allclose(mc[:, 0], np.log(4.0) / 2, atol=1e-8)  # c0 = log|H|
+    np.testing.assert_allclose(mc[:, 1:], 0.0, atol=1e-8)
+
+
+def test_spc2npow_flat():
+    sp = np.ones((4, 513))
+    npow = spc2npow(sp)
+    np.testing.assert_allclose(npow, 0.0, atol=1e-10)  # all frames equal power
+
+
+def test_acf_f0_tracks_sine():
+    fs = 16000
+    t = np.arange(fs) / fs
+    x = 0.5 * np.sin(2 * np.pi * 220.0 * t)
+    f0 = acf_f0(x, fs, 100, 400)
+    voiced = f0[f0 > 0]
+    assert len(voiced) > 0.8 * len(f0)
+    assert abs(np.median(voiced) - 220.0) < 8.0
+
+
+def test_mcd_identical_is_zero_and_orders():
+    fs = 16000
+    rng = np.random.default_rng(5)
+    t = np.arange(int(fs * 0.6)) / fs
+    x = (0.4 * np.sin(2 * np.pi * 180 * t) + 0.05 * rng.standard_normal(len(t))).astype(np.float32)
+    res_same = calculate_mcd_f0(x, x.copy(), fs, 100, 400)
+    assert res_same["MCD"] == pytest.approx(0.0, abs=1e-6)
+    assert res_same["DDUR"] == pytest.approx(0.0, abs=1e-6)
+    assert res_same["F0RMSE"] == pytest.approx(0.0, abs=1e-6)
+    assert res_same["F0CORR"] == pytest.approx(1.0, abs=1e-6)
+
+    # a different signal must have larger MCD than the identical pair
+    y = (0.4 * np.sin(2 * np.pi * 260 * t ** 1.1) + 0.05 * rng.standard_normal(len(t))).astype(np.float32)
+    res_diff = calculate_mcd_f0(x, y, fs, 100, 400)
+    assert res_diff["MCD"] > 1.0
+
+
+def test_error_rates():
+    assert levenshtein(list("kitten"), list("sitting")) == 3
+    assert character_error_rate("hello", "hello") == 0.0
+    assert word_error_rate("the cat sat", "the cat sat down") == pytest.approx(0.25)
+    assert character_error_rate("", "abc") == 1.0
+    assert word_error_rate("a b", "a b") == 0.0
