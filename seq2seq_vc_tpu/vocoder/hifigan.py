@@ -230,14 +230,18 @@ def load_hifigan_backend(checkpoint: str, config_path: Optional[str] = None):
         gen_cfg = full.get("generator_params", {})
     model = HifiganGenerator(**gen_cfg)
 
+    del load_checkpoint  # raw-tree restore below covers all layouts
     with open(checkpoint, "rb") as f:
         state = flax.serialization.msgpack_restore(f.read())
-    if "model" in state:
-        dummy = jnp.zeros((1, 8, model.in_channels))
-        template = model.init(jax.random.PRNGKey(0), dummy)
-        params = load_checkpoint(checkpoint, template)["model"]
-    else:
-        params = state
+    # framework checkpoints nest a serialized model blob; the GAN trainer
+    # additionally bundles {"generator": ..., "discriminator": ...}
+    if isinstance(state, dict) and "model" in state:
+        state = state["model"]
+    if isinstance(state, bytes):
+        state = flax.serialization.msgpack_restore(state)
+    if isinstance(state, dict) and "generator" in state:
+        state = state["generator"]
+    params = state  # plain pytree of arrays works directly with apply
 
     fn = jax.jit(lambda p, feats: model.apply(p, feats))
 
