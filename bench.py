@@ -48,25 +48,34 @@ def main():
 
     params = jax.jit(_init)(src, slens, tgt, tlens, 0)
 
-    run = jax.jit(
-        lambda p, s, sl, k: model.apply(
+    # chained protocol: iteration i+1's input depends on iteration i's full
+    # output, so executions cannot overlap or be elided by the async runtime;
+    # host round trips stay out of the timed loop
+    def step(p, s, sl, k):
+        out = model.apply(
             p, s, sl, max_output_frames=160,
             method=AASVC.inference, rngs={"noise": k},
         )
-    )
+        s_next = s + 1e-9 * jnp.mean(out["outs"])
+        return s_next, out["out_lens"]
+
+    run = jax.jit(step)
     src_d = jnp.asarray(src)
     slens_d = jnp.asarray(slens)
-    out = run(params, src_d, slens_d, jax.random.PRNGKey(3))
-    jax.block_until_ready(out["outs"])  # compile
+    src_d, _ = run(params, src_d, slens_d, jax.random.PRNGKey(3))
+    jax.block_until_ready(src_d)  # compile
 
     n_iter = 20
+    keys = [jax.random.PRNGKey(10 + i) for i in range(n_iter)]
+    jax.block_until_ready(keys)
     t0 = time.time()
-    frames = 0
+    lens_out = []
     for i in range(n_iter):
-        out = run(params, src_d, slens_d, jax.random.PRNGKey(10 + i))
-        jax.block_until_ready(out["outs"])
-        frames += int(np.asarray(out["out_lens"]).sum())
+        src_d, l = run(params, src_d, slens_d, keys[i])
+        lens_out.append(l)
+    jax.block_until_ready(src_d)
     dt = time.time() - t0
+    frames = int(np.asarray(lens_out).sum())
     fps = frames / dt
     print(
         json.dumps(

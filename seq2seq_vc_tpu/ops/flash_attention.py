@@ -1,0 +1,165 @@
+"""Pallas TPU flash attention.
+
+Blocked online-softmax attention for the O(L^2) hot paths (SURVEY.md §3
+hot-loop 2): grid (B*H, q_blocks, kv_blocks) with the kv axis innermost so
+running max / normalizer / accumulator live in VMEM scratch across kv
+steps; scores never materialize in HBM. Padding masks ride in as
+scalar-prefetched per-batch key lengths; causal masking is positional.
+
+Head dims are zero-padded to lane multiples (zeros change neither scores
+nor outputs). Falls back to interpreter mode off-TPU so the same code path
+is testable on CPU.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+
+def _flash_kernel(
+    lens_ref,  # scalar prefetch: (B,) int32 kv lengths
+    q_ref,  # (1, bq, D)
+    k_ref,  # (1, bk, D)
+    v_ref,  # (1, bk, D)
+    o_ref,  # (1, bq, D)
+    m_scr,  # (bq, 128) f32
+    l_scr,  # (bq, 128) f32
+    acc_scr,  # (bq, D) f32
+    *,
+    n_heads: int,
+    block_q: int,
+    block_kv: int,
+    scale: float,
+    causal: bool,
+):
+    bh = pl.program_id(0)
+    qi = pl.program_id(1)
+    ki = pl.program_id(2)
+    n_kv = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (bq, bk)
+
+    kv_pos = ki * block_kv + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    valid = kv_pos < lens_ref[bh // n_heads]
+    if causal:
+        q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        valid = valid & (kv_pos <= q_pos)
+    s = jnp.where(valid, s, _NEG_INF)
+
+    m_prev = m_scr[:, :1]  # (bq, 1)
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)  # (bq, bk)
+    l_new = alpha * l_scr[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
+
+    pv = jax.lax.dot_general(
+        p, v_ref[0], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    acc_scr[:] = acc_scr[:] * alpha + pv
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(ki == n_kv - 1)
+    def _():
+        l = l_scr[:, :1]
+        o_ref[0] = (acc_scr[:] / jnp.where(l == 0.0, 1.0, l)).astype(o_ref.dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("causal", "block_q", "block_kv", "interpret"),
+)
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    kv_lens: Optional[jnp.ndarray] = None,
+    causal: bool = False,
+    block_q: int = 128,
+    block_kv: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Flash attention.
+
+    Args:
+        q: (B, H, Tq, D) queries.
+        k, v: (B, H, Tk, D) keys/values.
+        kv_lens: (B,) valid key lengths (padding mask); defaults to Tk.
+        causal: apply a causal mask (Tq must equal Tk positionally).
+    Returns:
+        (B, H, Tq, D) context. Fully-masked query rows return zeros.
+    """
+    B, H, Tq, D = q.shape
+    Tk = k.shape[2]
+    scale = 1.0 / math.sqrt(D)
+
+    if kv_lens is None:
+        kv_lens = jnp.full((B,), Tk, jnp.int32)
+    kv_lens = kv_lens.astype(jnp.int32)
+
+    d_pad = _round_up(D, 128)
+    tq_pad = _round_up(Tq, block_q)
+    tk_pad = _round_up(Tk, block_kv)
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, tq_pad - Tq), (0, d_pad - D)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, tk_pad - Tk), (0, d_pad - D)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, tk_pad - Tk), (0, d_pad - D)))
+    qp = qp.reshape(B * H, tq_pad, d_pad)
+    kp = kp.reshape(B * H, tk_pad, d_pad)
+    vp = vp.reshape(B * H, tk_pad, d_pad)
+
+    grid = (B * H, tq_pad // block_q, tk_pad // block_kv)
+    kernel = functools.partial(
+        _flash_kernel,
+        n_heads=H,
+        block_q=block_q,
+        block_kv=block_kv,
+        scale=scale,
+        causal=causal,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, block_q, d_pad), lambda bh, qi, ki, lens: (bh, qi, 0)),
+                pl.BlockSpec((1, block_kv, d_pad), lambda bh, qi, ki, lens: (bh, ki, 0)),
+                pl.BlockSpec((1, block_kv, d_pad), lambda bh, qi, ki, lens: (bh, ki, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, block_q, d_pad), lambda bh, qi, ki, lens: (bh, qi, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((block_q, 128), jnp.float32),
+                pltpu.VMEM((block_q, 128), jnp.float32),
+                pltpu.VMEM((block_q, d_pad), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B * H, tq_pad, d_pad), q.dtype),
+        interpret=interpret,
+    )(kv_lens, qp, kp, vp)
+    out = out.reshape(B, H, tq_pad, d_pad)[:, :, :Tq, :D]
+    return out
