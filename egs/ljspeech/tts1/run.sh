@@ -1,0 +1,96 @@
+#!/usr/bin/env bash
+# LJSpeech Transformer-TTS pretraining + TTS-AEPT recipe (mirrors the
+# reference egs/ljspeech/tts1/run.sh): tokenize -> preprocess -> train TTS
+# -> decode -> AEPT second-stage (mel encoder, frozen decoder).
+set -euo pipefail
+
+stage=0
+stop_stage=100
+n_jobs=8
+conf=conf/transformer_tts.v1.yaml
+aept_conf=conf/tts_aept.v1.yaml
+db_root=downloads/LJSpeech-1.1
+dumpdir=dump
+expdir=exp
+tag=transformer_tts.v1
+token_type=char   # g2p backends are gated in this image; char works
+cleaner=tacotron
+num_dev=250
+
+repo_root=$(cd "$(dirname "$0")/../../.." && pwd)
+. "$repo_root/utils/parse_options.sh"
+cd "$(dirname "$0")"
+export PYTHONPATH="$repo_root:${PYTHONPATH:-}"
+train_cmd="python3 $repo_root/utils/run_jobs.py"
+
+if [ "$stage" -le 0 ] && [ "$stop_stage" -ge 0 ]; then
+  echo "=== stage 0: data prep (expects $db_root with metadata.csv + wavs/)"
+  [ -f "$db_root/metadata.csv" ] || { echo "download LJSpeech-1.1 first"; exit 1; }
+  mkdir -p data
+  awk -F'|' -v db="$db_root" '{print $1, db"/wavs/"$1".wav"}' "$db_root/metadata.csv" > data/wav.scp
+  awk -F'|' '{print $1, $3}' "$db_root/metadata.csv" > data/text
+  head -n -"$num_dev" data/wav.scp > data/train_wav.scp
+  tail -n "$num_dev" data/wav.scp > data/dev_wav.scp
+fi
+
+if [ "$stage" -le 1 ] && [ "$stop_stage" -ge 1 ]; then
+  echo "=== stage 1: tokenization"
+  python3 -m seq2seq_vc_tpu.bin.tokenize_text \
+    --input data/text --output data/tokens.txt \
+    --token_type "$token_type" --cleaner "$cleaner" --field 2-
+fi
+
+if [ "$stage" -le 2 ] && [ "$stop_stage" -ge 2 ]; then
+  echo "=== stage 2: feature extraction + stats + normalize"
+  for set in train dev; do
+    python3 "$repo_root/utils/split_scp.py" --n "$n_jobs" --prefix "$dumpdir/$set/split/wav" data/${set}_wav.scp
+    $train_cmd JOB=1:$n_jobs "$dumpdir/$set/log/preprocess.JOB.log" \
+      python3 -m seq2seq_vc_tpu.bin.preprocess \
+        --wav-scp "$dumpdir/$set/split/wav.JOB.scp" \
+        --dumpdir "$dumpdir/$set/raw" --config "$conf"
+  done
+  python3 -m seq2seq_vc_tpu.bin.compute_statistics \
+    --rootdir "$dumpdir/train/raw" --config "$conf" --dumpdir "$dumpdir/stats"
+  for set in train dev; do
+    python3 -m seq2seq_vc_tpu.bin.normalize \
+      --rootdir "$dumpdir/$set/raw" --dumpdir "$dumpdir/$set/norm" \
+      --stats "$dumpdir/stats/stats.h5"
+  done
+fi
+
+if [ "$stage" -le 3 ] && [ "$stop_stage" -ge 3 ]; then
+  echo "=== stage 3: TTS training"
+  python3 -m seq2seq_vc_tpu.bin.tts_train \
+    --train-dumpdir "$dumpdir/train/norm" --dev-dumpdir "$dumpdir/dev/norm" \
+    --train-text data/text --dev-text data/text \
+    --token-list data/tokens.txt --token-type "$token_type" --cleaner "$cleaner" \
+    --stats "$dumpdir/stats/stats.h5" \
+    --outdir "$expdir/$tag" --config "$conf"
+fi
+
+if [ "$stage" -le 4 ] && [ "$stop_stage" -ge 4 ]; then
+  echo "=== stage 4: TTS decoding (dev subset)"
+  ckpt=$(ls -t "$expdir/$tag"/checkpoint-*steps.ckpt | head -1)
+  head -20 data/text > data/decode_text
+  python3 -m seq2seq_vc_tpu.bin.tts_decode \
+    --text data/decode_text --checkpoint "$ckpt" \
+    --token-list data/tokens.txt --token-type "$token_type" --cleaner "$cleaner" \
+    --stats "$dumpdir/stats/stats.h5" \
+    --outdir "$expdir/$tag/results"
+fi
+
+if [ "$stage" -le 6 ] && [ "$stop_stage" -ge 6 ]; then
+  echo "=== stage 6: TTS-AEPT (mel encoder re-training, decoder frozen)"
+  ckpt=$(ls -t "$expdir/$tag"/checkpoint-*steps.ckpt | head -1)
+  python3 -m seq2seq_vc_tpu.bin.vc_train \
+    --src-train-dumpdir "$dumpdir/train/norm" \
+    --src-dev-dumpdir "$dumpdir/dev/norm" \
+    --trg-train-dumpdir "$dumpdir/train/norm" \
+    --trg-dev-dumpdir "$dumpdir/dev/norm" \
+    --trg-stats "$dumpdir/stats/stats.h5" \
+    --init-checkpoint "$ckpt" \
+    --outdir "$expdir/tts_aept.v1" --config "$conf" \
+    --additional-config "$aept_conf"
+fi
+
+echo "=== ljspeech tts1 recipe done"
