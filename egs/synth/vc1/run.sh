@@ -77,4 +77,41 @@ if [ "$stage" -le 4 ] && [ "$stop_stage" -ge 4 ]; then
   echo "decoded wavs:"; ls "$workdir/results/wav" | head
 fi
 
+if [ "$stage" -le 5 ] && [ "$stop_stage" -ge 5 ]; then
+  echo "=== stage 5: AR VTN training (teacher for FS2)"
+  python -m seq2seq_vc_tpu.bin.vc_train \
+    --src-train-dumpdir "$workdir/dump/src/norm" \
+    --src-dev-dumpdir "$workdir/dump/src/norm" \
+    --trg-train-dumpdir "$workdir/dump/trg/norm" \
+    --trg-dev-dumpdir "$workdir/dump/trg/norm" \
+    --trg-stats "$workdir/stats/trg/stats.h5" \
+    --outdir "$workdir/exp_vtn" --config conf/vtn.synth.yaml
+fi
+
+if [ "$stage" -le 6 ] && [ "$stop_stage" -ge 6 ]; then
+  echo "=== stage 6: teacher-forcing decode -> durations"
+  ckpt=$(ls -t "$workdir/exp_vtn"/checkpoint-*steps.ckpt | head -1)
+  python -m seq2seq_vc_tpu.bin.vc_decode \
+    --dumpdir "$workdir/dump/src/norm" \
+    --trg-dumpdir "$workdir/dump/trg/norm" \
+    --use-teacher-forcing \
+    --checkpoint "$ckpt" \
+    --outdir "$workdir/results_tf" \
+    --trg-stats "$workdir/stats/trg/stats.h5"
+  echo "durations:"; ls "$workdir/results_tf/durations" | head -3
+fi
+
+if [ "$stage" -le 7 ] && [ "$stop_stage" -ge 7 ]; then
+  echo "=== stage 7: FastSpeech-VC training on teacher durations"
+  python -m seq2seq_vc_tpu.bin.vc_train \
+    --src-train-dumpdir "$workdir/dump/src/norm" \
+    --src-dev-dumpdir "$workdir/dump/src/norm" \
+    --trg-train-dumpdir "$workdir/dump/trg/norm" \
+    --trg-dev-dumpdir "$workdir/dump/trg/norm" \
+    --train-duration-dir "$workdir/results_tf/durations" \
+    --dev-duration-dir "$workdir/results_tf/durations" \
+    --trg-stats "$workdir/stats/trg/stats.h5" \
+    --outdir "$workdir/exp_fs2" --config conf/fs2.synth.yaml
+fi
+
 echo "=== synth recipe done"

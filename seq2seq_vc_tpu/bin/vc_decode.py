@@ -41,6 +41,8 @@ def _bucket_len(n: int, multiple: int = 64) -> int:
 def main():
     parser = argparse.ArgumentParser(description="Decode with a trained VC model")
     parser.add_argument("--dumpdir", required=True, help="source features dir/scp")
+    parser.add_argument("--trg-dumpdir", default=None,
+                        help="target features (required for --use-teacher-forcing)")
     parser.add_argument("--dp-input-dir", default=None)
     parser.add_argument("--checkpoint", required=True)
     parser.add_argument("--config", default=None, help="defaults to <ckpt_dir>/config.yml")
@@ -68,9 +70,19 @@ def main():
             "scale": read_hdf5(stats_path, f"{args.feat_type}_scale"),
         }
 
-    dataset = SourceVCMelDataset(
-        args.dumpdir, dp_feats=args.dp_input_dir, feat_key=args.feat_type
-    )
+    if args.use_teacher_forcing:
+        if not args.trg_dumpdir:
+            raise ValueError("--use-teacher-forcing requires --trg-dumpdir")
+        from ..train.data import ParallelVCMelDataset
+
+        dataset = ParallelVCMelDataset(
+            args.dumpdir, args.trg_dumpdir, dp_feats=args.dp_input_dir,
+            feat_key=args.feat_type,
+        )
+    else:
+        dataset = SourceVCMelDataset(
+            args.dumpdir, dp_feats=args.dp_input_dir, feat_key=args.feat_type
+        )
     logging.info("decoding %d utterances", len(dataset))
 
     model_type = config["model_type"]
@@ -103,6 +115,13 @@ def main():
     inf_cfg = config.get("inference", {}) or {}
 
     inference = getattr(model_class, "inference")
+    if is_ar and args.use_teacher_forcing:
+        @jax.jit
+        def run_tf(p, xs, ilens, ys, labels, olens, key):
+            return model.apply(
+                p, xs, ilens, ys, labels, olens, deterministic=True,
+                rngs={"dropout": key},
+            )
     if is_ar:
         @jax.jit
         def run(p, xs, ilens, key):
@@ -142,6 +161,39 @@ def main():
         key = jax.random.fold_in(jax.random.PRNGKey(config.get("seed", 0)), idx)
 
         start = time.time()
+        if is_ar and args.use_teacher_forcing:
+            from ..utils.duration_calculator import calculate_durations
+
+            trg = item["trg_feat"]
+            r = config["model_params"].get("decoder_reduction_factor", 1)
+            Lb = _bucket_len(trg.shape[0], int(np.lcm(64, r)))
+            ys = np.zeros((1, Lb, trg.shape[1]), np.float32)
+            ys[0, : trg.shape[0]] = trg
+            olens = jnp.asarray([trg.shape[0]], jnp.int32)
+            labels = np.zeros((1, Lb), np.float32)
+            labels[0, trg.shape[0] - 1 :] = 1.0
+            out_tf = run_tf(
+                params, jnp.asarray(xs), ilens, jnp.asarray(ys),
+                jnp.asarray(labels), olens, key,
+            )
+            L = int(out_tf["olens"][0])
+            outs = np.asarray(out_tf["after_outs"][0, :L])
+            # att_ws: (L, B, H, T_out_red, T_mem) -> (layers, heads, T, S)
+            att = np.asarray(out_tf["att_ws"][:, 0])
+            t_red = int(out_tf["olens_in"][0])
+            s_len = int(out_tf["ilens_ds_st"][0])
+            durations, focus = calculate_durations(att[:, :, :t_red, :s_len])
+            logging.info("%s: focus rate = %.3f", utt, focus)
+            np.savetxt(
+                os.path.join(dur_dir, f"{utt}.txt"), durations[None], fmt="%d"
+            )
+            elapsed = time.time() - start
+            total_frames += L
+            total_sec += elapsed
+            write_hdf5(os.path.join(args.outdir, f"{utt}.h5"), "feats", outs.astype(np.float32))
+            y = vocoder.decode(outs)
+            write_wav(os.path.join(wav_dir, f"{utt}.wav"), y, vocoder.fs)
+            continue
         if is_ar:
             out = run(params, jnp.asarray(xs), ilens, key)
         else:

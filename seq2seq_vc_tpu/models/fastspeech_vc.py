@@ -248,6 +248,14 @@ class FastSpeechVC(nn.Module):
 
         d_outs = self.duration_predictor(_dp_in, ~h_nonpad, deterministic=deterministic)
 
+        # align the (separately padded) teacher durations to the encoder grid
+        T_h = hs.shape[1]
+        if ds.shape[1] >= T_h:
+            ds = ds[:, :T_h]
+        else:
+            ds = jnp.pad(ds, ((0, 0), (0, T_h - ds.shape[1])))
+        ds = jnp.where(h_nonpad, ds, 0)
+
         scale = self.teacher_model_decoder_reduction_factor
         t_feats = max_feats if max_feats is not None else ys.shape[1]
         hs_up = length_regulator(hs, ds * scale, t_feats=t_feats)

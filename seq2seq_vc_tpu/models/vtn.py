@@ -87,6 +87,7 @@ class VTN(nn.Module):
     conformer_enc_kernel_size: int = 7
     conformer_dec_kernel_size: int = 31
     init_type: str = "xavier_uniform"  # accepted for config parity
+    attention_backend: str = "xla"  # 'flash': Pallas kernel in the encoder
 
     def setup(self):
         if self.encoder_type == "transformer":
@@ -106,6 +107,7 @@ class VTN(nn.Module):
                 positional_dropout_rate=self.transformer_enc_positional_dropout_rate,
                 attention_dropout_rate=self.transformer_enc_attn_dropout_rate,
                 init_enc_alpha=self.initial_encoder_alpha,
+                attention_backend=self.attention_backend,
             )
         elif self.encoder_type == "conformer":
             pos_enc, self_attn = _resolve_conformer_types(

@@ -38,11 +38,18 @@ def _expand_mask(mask: Optional[jnp.ndarray]) -> Optional[jnp.ndarray]:
 
 
 class MultiHeadedAttention(nn.Module):
-    """Standard scaled dot-product MHA with q/k/v/out projections."""
+    """Standard scaled dot-product MHA with q/k/v/out projections.
+
+    ``backend='flash'`` routes through the Pallas flash-attention kernel
+    when the call qualifies (no attention-weight output needed, attention
+    dropout inactive, and the mask — if any — is a key-padding mask);
+    otherwise it falls back to the XLA path transparently.
+    """
 
     n_head: int
     n_feat: int
     dropout_rate: float = 0.0
+    backend: str = "xla"  # 'xla' | 'flash'
 
     def setup(self):
         self.linear_q = nn.Dense(self.n_feat)
@@ -67,6 +74,20 @@ class MultiHeadedAttention(nn.Module):
         return_weights: bool = False,
     ):
         q, k, v = self._qkv(query, key, value)
+        if (
+            self.backend == "flash"
+            and not return_weights
+            and (deterministic or self.dropout_rate == 0.0)
+            and (mask is None or mask.ndim == 2 or (mask.ndim == 3 and mask.shape[1] == 1))
+        ):
+            from ..ops.flash_attention import flash_attention
+
+            kv_lens = None
+            if mask is not None:
+                m2 = mask if mask.ndim == 2 else mask[:, 0, :]
+                kv_lens = m2.sum(-1).astype(jnp.int32)  # prefix-true padding mask
+            out = flash_attention(q, k, v, kv_lens=kv_lens)
+            return self.linear_out(_merge_heads(out))
         out, w = scaled_dot_attention(q, k, v, mask=_expand_mask(mask), return_weights=True)
         w = self.attn_dropout(w, deterministic=deterministic)
         out = jnp.einsum("bhqk,bhkd->bhqd", w, v.astype(w.dtype))

@@ -136,11 +136,13 @@ class EncoderLayer(nn.Module):
     positionwise_conv_kernel_size: int = 1
     selfattention_layer_type: str = "selfattn"
     stochastic_depth_rate: float = 0.0
+    attention_backend: str = "xla"
 
     def setup(self):
         if self.selfattention_layer_type == "selfattn":
             self.self_attn = MultiHeadedAttention(
-                self.n_head, self.size, self.attention_dropout_rate
+                self.n_head, self.size, self.attention_dropout_rate,
+                backend=self.attention_backend,
             )
         elif self.selfattention_layer_type == "rel_selfattn":
             self.self_attn = RelPositionMultiHeadedAttention(
@@ -227,6 +229,7 @@ class Encoder(nn.Module):
     padding_idx: int = 0
     stochastic_depth_rate: float = 0.0
     init_enc_alpha: float = 1.0
+    attention_backend: str = "xla"  # 'flash' uses the Pallas kernel at inference
 
     @property
     def conv_subsampling_factor(self) -> int:
@@ -261,6 +264,7 @@ class Encoder(nn.Module):
                 self.positionwise_conv_kernel_size,
                 self.selfattention_layer_type,
                 self.stochastic_depth_rate,
+                self.attention_backend,
             )
             for _ in range(self.num_blocks)
         ]

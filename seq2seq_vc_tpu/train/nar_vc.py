@@ -28,9 +28,13 @@ class NARVCTrainer(Trainer):
         l1 = self.criterion["L1Loss"](
             out["after_outs"], out["before_outs"], out["ys"], out["olens"]
         )
-        # teacher durations are frame counts; predictor output is log-domain
-        ds = batch["durations"][:, : out["d_outs"].shape[1]]
-        dur = self.criterion["DurationPredictorLoss"](
-            out["d_outs"], jnp.asarray(ds), out["ilens"]
-        )
+        # teacher durations are frame counts; predictor output is log-domain.
+        # align the separately-padded duration tensor to the predictor grid
+        ds = jnp.asarray(batch["durations"])
+        T_d = out["d_outs"].shape[1]
+        if ds.shape[1] >= T_d:
+            ds = ds[:, :T_d]
+        else:
+            ds = jnp.pad(ds, ((0, 0), (0, T_d - ds.shape[1])))
+        dur = self.criterion["DurationPredictorLoss"](out["d_outs"], ds, out["ilens"])
         return l1 + dur, {"l1_loss": l1, "duration_loss": dur}
