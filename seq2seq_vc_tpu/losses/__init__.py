@@ -6,6 +6,7 @@ from .l1 import L1Loss  # noqa: F401
 from .duration import DurationPredictorLoss, StochasticDurationPredictorLoss  # noqa: F401
 from .forward_sum import ForwardSumLoss  # noqa: F401
 from .guided_attention import GuidedAttentionLoss, GuidedMultiHeadAttentionLoss  # noqa: F401
+from .mle import MLELoss  # noqa: F401
 
 _CRITERIONS = {
     "Seq2SeqLoss": Seq2SeqLoss,
@@ -15,6 +16,7 @@ _CRITERIONS = {
     "ForwardSumLoss": ForwardSumLoss,
     "GuidedAttentionLoss": GuidedAttentionLoss,
     "GuidedMultiHeadAttentionLoss": GuidedMultiHeadAttentionLoss,
+    "MLELoss": MLELoss,
 }
 
 

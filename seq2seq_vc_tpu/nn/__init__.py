@@ -20,6 +20,9 @@ from .transformer import (  # noqa: F401
     DecoderLayer,
     Decoder,
     Conv2dSubsampling,
+    Conv2dSubsampling2,
+    Conv2dSubsampling6,
+    Conv2dSubsampling8,
 )
 from .conformer import ConformerEncoder, ConformerEncoderLayer, ConvolutionModule  # noqa: F401
 from .pre_postnets import Prenet, Postnet  # noqa: F401

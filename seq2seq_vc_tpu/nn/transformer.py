@@ -110,6 +110,57 @@ class Conv2dSubsampling(nn.Module):
         return h, mask
 
 
+class Conv2dSubsampling2(nn.Module):
+    """1/2 time reduction (reference ``subsampling.py`` x2 variant)."""
+
+    odim: int
+
+    @nn.compact
+    def __call__(self, x, mask: Optional[jnp.ndarray]):
+        h = x[..., None]
+        h = nn.relu(nn.Conv(self.odim, (3, 3), strides=(2, 2), padding="VALID")(h))
+        h = nn.relu(nn.Conv(self.odim, (3, 3), strides=(1, 1), padding="VALID")(h))
+        b, t, f, c = h.shape
+        h = nn.Dense(self.odim)(h.reshape(b, t, f * c))
+        if mask is not None:
+            mask = mask[:, :-2:2][:, :-2:1]
+        return h, mask
+
+
+class Conv2dSubsampling6(nn.Module):
+    """1/6 time reduction (stride 2 then 3)."""
+
+    odim: int
+
+    @nn.compact
+    def __call__(self, x, mask: Optional[jnp.ndarray]):
+        h = x[..., None]
+        h = nn.relu(nn.Conv(self.odim, (3, 3), strides=(2, 2), padding="VALID")(h))
+        h = nn.relu(nn.Conv(self.odim, (5, 5), strides=(3, 3), padding="VALID")(h))
+        b, t, f, c = h.shape
+        h = nn.Dense(self.odim)(h.reshape(b, t, f * c))
+        if mask is not None:
+            mask = mask[:, :-2:2][:, :-4:3]
+        return h, mask
+
+
+class Conv2dSubsampling8(nn.Module):
+    """1/8 time reduction (three stride-2 convs)."""
+
+    odim: int
+
+    @nn.compact
+    def __call__(self, x, mask: Optional[jnp.ndarray]):
+        h = x[..., None]
+        for _ in range(3):
+            h = nn.relu(nn.Conv(self.odim, (3, 3), strides=(2, 2), padding="VALID")(h))
+        b, t, f, c = h.shape
+        h = nn.Dense(self.odim)(h.reshape(b, t, f * c))
+        if mask is not None:
+            mask = mask[:, :-2:2][:, :-2:2][:, :-2:2]
+        return h, mask
+
+
 def _make_pos_enc(kind: str, d: int, rate: float, init_alpha: float = 1.0):
     if kind == "abs":
         return PositionalEncoding(d, rate)

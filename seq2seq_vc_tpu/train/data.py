@@ -222,6 +222,9 @@ class DataLoader:
 
     Sorting by target length minimizes padding (fewer wasted MXU cycles and
     fewer bucket shapes); shuffling the batch order keeps SGD stochastic.
+    With ``prefetch > 0``, collation runs in a background thread (h5py
+    releases the GIL during I/O) so host data prep overlaps the device step
+    — replacing the reference's DataLoader worker processes.
     """
 
     def __init__(
@@ -233,12 +236,14 @@ class DataLoader:
         seed: int = 0,
         drop_last: bool = False,
         sort_key: str = "trg_feat",
+        prefetch: int = 2,
     ):
         self.dataset = dataset
         self.collater = collater
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
+        self.prefetch = prefetch
         self.epoch = 0
         self._rng = np.random.default_rng(seed)
         self._order = None  # computed lazily on first epoch (one metadata pass)
@@ -273,5 +278,29 @@ class DataLoader:
             perm = self._rng.permutation(len(batches))
             batches = [batches[int(i)] for i in perm]
         self.epoch += 1
-        for idxs in batches:
-            yield self.collater([self.dataset[int(i)] for i in idxs])
+        if self.prefetch <= 0:
+            for idxs in batches:
+                yield self.collater([self.dataset[int(i)] for i in idxs])
+            return
+
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def produce():
+            try:
+                for idxs in batches:
+                    q.put(self.collater([self.dataset[int(i)] for i in idxs]))
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        t.join()

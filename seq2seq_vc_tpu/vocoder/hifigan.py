@@ -30,15 +30,17 @@ class ResBlock(nn.Module):
     channels: int
     kernel_size: int = 3
     dilations: Sequence[int] = (1, 3, 5)
+    dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x):
         for d in self.dilations:
             y = nn.leaky_relu(x, LRELU_SLOPE)
             y = _wn(nn.Conv(self.channels, (self.kernel_size,),
-                            kernel_dilation=d, padding="SAME"))(y)
+                            kernel_dilation=d, padding="SAME", dtype=self.dtype))(y)
             y = nn.leaky_relu(y, LRELU_SLOPE)
-            y = _wn(nn.Conv(self.channels, (self.kernel_size,), padding="SAME"))(y)
+            y = _wn(nn.Conv(self.channels, (self.kernel_size,), padding="SAME",
+                            dtype=self.dtype))(y)
             x = x + y
         return x
 
@@ -49,13 +51,14 @@ class ConvTranspose1dTorch(nn.Module):
     features: int
     kernel_size: int
     stride: int
+    dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x):
         y = _wn(
             nn.ConvTranspose(
                 self.features, (self.kernel_size,), strides=(self.stride,),
-                padding="VALID",
+                padding="VALID", dtype=self.dtype,
             )
         )(x)
         crop = (self.kernel_size - self.stride) // 2
@@ -74,31 +77,37 @@ class HifiganGenerator(nn.Module):
     upsample_channels: int = 512
     upsample_factors: Tuple[int, ...] = (10, 8, 2, 2)
     sample_rate: int = 16000
+    # bf16 compute: fp32 1D convs lower pathologically on TPU (~0.1 TF/s vs
+    # ~75 TF/s in bf16); params stay fp32, the waveform is returned fp32
+    dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x):
         num_kernels = len(self.resblock_kernel_sizes)
-        h = _wn(nn.Conv(self.upsample_channels, (5,), padding="SAME", name="conv_pre"))(x)
+        h = _wn(nn.Conv(self.upsample_channels, (5,), padding="SAME",
+                        name="conv_pre", dtype=self.dtype))(x)
         for i, (u, k) in enumerate(zip(self.upsample_factors, self.upsample_kernel_sizes)):
             h = nn.leaky_relu(h, LRELU_SLOPE)
             ch = self.upsample_channels // (2 ** (i + 1))
-            h = ConvTranspose1dTorch(ch, k, u, name=f"up_{i}")(h)
+            h = ConvTranspose1dTorch(ch, k, u, name=f"up_{i}", dtype=self.dtype)(h)
             z = None
             for j, (rk, rd) in enumerate(
                 zip(self.resblock_kernel_sizes, self.resblock_dilation_sizes)
             ):
-                r = ResBlock(ch, rk, rd, name=f"resblock_{i}_{j}")(h)
+                r = ResBlock(ch, rk, rd, name=f"resblock_{i}_{j}", dtype=self.dtype)(h)
                 z = r if z is None else z + r
             h = z / num_kernels
         h = nn.leaky_relu(h)
-        h = _wn(nn.Conv(1, (7,), padding="SAME", name="conv_post"))(h)
-        return jnp.tanh(h)[..., 0]
+        h = _wn(nn.Conv(1, (7,), padding="SAME", name="conv_post", dtype=self.dtype))(h)
+        return jnp.tanh(h.astype(jnp.float32))[..., 0]
 
 
 class PeriodDiscriminator(nn.Module):
     """Reshapes the waveform into (T/p, p) and applies stacked 2D convs."""
 
     period: int
+
+    dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x):
@@ -110,15 +119,16 @@ class PeriodDiscriminator(nn.Module):
         h = x.reshape(b, -1, self.period)[..., None]
         fmaps = []
         for ch in (32, 128, 512, 1024):
-            h = _wn(nn.Conv(ch, (5, 1), strides=(3, 1), padding=((2, 2), (0, 0))))(h)
+            h = _wn(nn.Conv(ch, (5, 1), strides=(3, 1), padding=((2, 2), (0, 0)),
+                            dtype=self.dtype))(h)
             h = nn.leaky_relu(h, LRELU_SLOPE)
             fmaps.append(h)
-        h = _wn(nn.Conv(1024, (5, 1), padding=((2, 2), (0, 0))))(h)
+        h = _wn(nn.Conv(1024, (5, 1), padding=((2, 2), (0, 0)), dtype=self.dtype))(h)
         h = nn.leaky_relu(h, LRELU_SLOPE)
         fmaps.append(h)
-        h = _wn(nn.Conv(1, (3, 1), padding=((1, 1), (0, 0))))(h)
+        h = _wn(nn.Conv(1, (3, 1), padding=((1, 1), (0, 0)), dtype=self.dtype))(h)
         fmaps.append(h)
-        return h.reshape(b, -1), fmaps
+        return h.reshape(b, -1).astype(jnp.float32), fmaps
 
 
 class MultiPeriodDiscriminator(nn.Module):
@@ -151,12 +161,12 @@ class ScaleDiscriminator(nn.Module):
         ]
         for ch, k, s, groups in specs:
             h = _wn(nn.Conv(ch, (k,), strides=(s,), padding="SAME",
-                            feature_group_count=groups))(h)
+                            feature_group_count=groups, dtype=jnp.bfloat16))(h)
             h = nn.leaky_relu(h, LRELU_SLOPE)
             fmaps.append(h)
-        h = _wn(nn.Conv(1, (3,), padding="SAME"))(h)
+        h = _wn(nn.Conv(1, (3,), padding="SAME", dtype=jnp.bfloat16))(h)
         fmaps.append(h)
-        return h[..., 0], fmaps
+        return h[..., 0].astype(jnp.float32), fmaps
 
 
 class MultiScaleDiscriminator(nn.Module):

@@ -110,10 +110,13 @@ def test_torch_checkpoint_conversion_parity():
     tgen = _build_torch_reference_generator(in_ch, ch, up_ks, up_fs, res_ks, res_ds)
     tgen.eval()
 
+    import jax.numpy as jnp
+
     fgen = HifiganGenerator(
         in_channels=in_ch, upsample_channels=ch,
         upsample_kernel_sizes=up_ks, upsample_factors=up_fs,
         resblock_kernel_sizes=res_ks, resblock_dilation_sizes=res_ds,
+        dtype=jnp.float32,  # parity vs torch fp32 (bf16 is the TPU fast path)
     )
     x = np.random.default_rng(1).standard_normal((2, 12, in_ch)).astype(np.float32)
     template = fgen.init(jax.random.PRNGKey(0), x)
