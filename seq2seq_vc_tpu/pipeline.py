@@ -1,0 +1,136 @@
+"""Single-jit wav-in / wav-out conversion pipeline.
+
+The north-star deployment path (BASELINE.md): one compiled TPU program per
+length bucket runs log-mel analysis -> normalization -> AAS-VC conversion
+-> denorm/renorm -> HiFi-GAN synthesis, so a conversion request costs one
+host->device round trip. The reference instead chains five processes
+(preprocess / normalize / vc_decode / vocoder) through files.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .dsp.mel import mel_filterbank
+from .dsp.stft import hann_window, num_frames
+from .models import AASVC
+from .vocoder.hifigan import HifiganGenerator
+
+
+class Wav2WavConverter:
+    """End-to-end AAS-VC + HiFi-GAN converter, fully on device."""
+
+    def __init__(
+        self,
+        model: AASVC,
+        model_params: Any,
+        vocoder: HifiganGenerator,
+        vocoder_params: Any,
+        src_stats: Dict[str, np.ndarray],
+        trg_stats: Dict[str, np.ndarray],
+        config: Dict[str, Any],
+        vocoder_stats: Optional[Dict[str, np.ndarray]] = None,
+        bucket_frames: int = 128,
+    ):
+        self.model = model
+        self.model_params = model_params
+        self.vocoder = vocoder
+        self.vocoder_params = vocoder_params
+        self.config = config
+        self.bucket_frames = bucket_frames
+        self.fft_size = config.get("fft_size", 1024)
+        self.hop_size = config.get("hop_size", 256)
+        sr = config.get("sampling_rate", 16000)
+        self.sr = sr
+
+        self._window = jnp.asarray(hann_window(config.get("win_length") or self.fft_size, self.fft_size))
+        self._mel_t = jnp.asarray(
+            mel_filterbank(
+                sr, self.fft_size, config.get("num_mels", 80),
+                config.get("fmin") or 0, config.get("fmax") or sr / 2,
+            ).T
+        )
+        self._src_mean = jnp.asarray(src_stats["mean"], jnp.float32)
+        self._src_scale = jnp.asarray(src_stats["scale"], jnp.float32)
+        self._trg_mean = jnp.asarray(trg_stats["mean"], jnp.float32)
+        self._trg_scale = jnp.asarray(trg_stats["scale"], jnp.float32)
+        if vocoder_stats is not None:
+            self._voc_mean = jnp.asarray(vocoder_stats["mean"], jnp.float32)
+            self._voc_scale = jnp.asarray(vocoder_stats["scale"], jnp.float32)
+        else:
+            self._voc_mean = self._trg_mean
+            self._voc_scale = self._trg_scale
+
+        self._jit_cache: Dict[Any, Any] = {}
+
+    def _get_fn(self, n_frames_padded: int, max_out: int):
+        key = (n_frames_padded, max_out)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        model, vocoder = self.model, self.vocoder
+        hop, fft = self.hop_size, self.fft_size
+
+        @partial(jax.jit, static_argnames=())
+        def convert(mp, vp, x_padded, n_frames, rng):
+            # 1. log-mel analysis (x_padded is host reflect-padded audio)
+            n = 1 + (x_padded.shape[0] - fft) // hop
+            idx = jnp.arange(n)[:, None] * hop + jnp.arange(fft)[None, :]
+            frames = x_padded[idx] * self._window[None, :]
+            spc = jnp.abs(jnp.fft.rfft(frames, axis=-1))
+            mel = jnp.log10(jnp.maximum(1e-10, spc @ self._mel_t))
+            # 2. normalize by source stats
+            mel = (mel - self._src_mean) / self._src_scale
+            # 3. convert
+            out = model.apply(
+                mp, mel[None], jnp.asarray([n_frames]),
+                mel[None],  # dp_input = source mel (melmelmel config)
+                max_output_frames=max_out,
+                method=AASVC.inference, rngs={"noise": rng},
+            )
+            feats = out["outs"][0]
+            # 4. denorm by target stats, renorm by vocoder stats
+            feats = feats * self._trg_scale + self._trg_mean
+            feats = (feats - self._voc_mean) / self._voc_scale
+            # 5. synthesize with overlap-halo chunking (batched chunks keep
+            # the low-channel conv stages on the MXU; single-stream is ~10x
+            # less efficient)
+            from .vocoder.hifigan import chunked_generate
+
+            wav = chunked_generate(vocoder, vp, feats)
+            return wav, out["out_lens"][0]
+
+        self._jit_cache[key] = convert
+        return convert
+
+    def __call__(self, audio: np.ndarray, rng=None) -> np.ndarray:
+        """audio (T,) float32 in [-1,1] -> converted waveform (T',)."""
+        audio = np.asarray(audio, np.float32)
+        n_true = num_frames(len(audio), self.hop_size)
+        pad = self.fft_size // 2
+        x = np.pad(audio, (pad, pad), mode="reflect")
+        # pick a padded length that yields a frame count divisible by both the
+        # bucket quantum and the model's reduction factors
+        pr = getattr(self.model, "post_encoder_reduction_factor", 1)
+        er = getattr(self.model, "encoder_reduction_factor", 1)
+        dr = getattr(self.model, "decoder_reduction_factor", 1)
+        m = int(np.lcm(np.lcm(self.bucket_frames, max(pr, 1) * max(er, 1)), max(dr, 1)))
+        n_raw = 1 + (len(x) - self.fft_size) // self.hop_size
+        n_padded = ((n_raw + m - 1) // m) * m
+        target_len = self.fft_size + (n_padded - 1) * self.hop_size
+        x = np.pad(x, (0, max(0, target_len - len(x))))[:target_len]
+        max_out = (n_padded // max(pr, 1)) * 2 + 8
+
+        fn = self._get_fn(n_padded, max_out)
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        wav, out_len = fn(
+            self.model_params, self.vocoder_params, jnp.asarray(x),
+            jnp.asarray(n_true, jnp.int32), rng,
+        )
+        n_samples = int(out_len) * dr * self.hop_size
+        return np.asarray(wav[:n_samples])

@@ -224,6 +224,39 @@ def feature_matching_loss(real_fmaps, fake_fmaps):
     return loss
 
 
+def chunked_generate(
+    vocoder: HifiganGenerator,
+    params,
+    mel: jnp.ndarray,
+    chunk_frames: int = 160,
+    halo_frames: int = 8,
+) -> jnp.ndarray:
+    """Overlap-halo chunked synthesis: (T, D) mel -> (T * hop,) waveform.
+
+    The generator is fully convolutional with a receptive field of a few
+    mel frames, so a long utterance can be split into overlapping chunks,
+    synthesized as ONE batch (full MXU utilization — single-stream
+    low-channel convs underutilize the TPU by ~10x), and re-assembled by
+    trimming the halo regions. Interior samples match unchunked synthesis
+    up to float tolerance once ``halo_frames`` exceeds the receptive field.
+    """
+    t, d = mel.shape
+    hop = int(np.prod(vocoder.upsample_factors))
+    n_chunks = max((t + chunk_frames - 1) // chunk_frames, 1)
+    t_pad = n_chunks * chunk_frames
+    # edge-pad so halos at the borders see real context
+    mel_p = jnp.pad(
+        mel, ((halo_frames, t_pad - t + halo_frames), (0, 0)), mode="edge"
+    )
+    starts = jnp.arange(n_chunks) * chunk_frames
+    window = chunk_frames + 2 * halo_frames
+    idx = starts[:, None] + jnp.arange(window)[None, :]
+    chunks = mel_p[idx]  # (n_chunks, window, D)
+    wavs = vocoder.apply(params, chunks)  # (n_chunks, window * hop)
+    core = wavs[:, halo_frames * hop : (halo_frames + chunk_frames) * hop]
+    return core.reshape(-1)[: t * hop]
+
+
 def load_hifigan_backend(checkpoint: str, config_path: Optional[str] = None):
     """Build a (T, in_channels) -> (N,) waveform callable from a saved
     flax HiFi-GAN checkpoint (see ``core/checkpoint.py`` format)."""
