@@ -306,14 +306,27 @@ class AASVC(nn.Module):
         dp_inputs=None,
         spembs=None,
         max_output_frames: Optional[int] = None,
+        tgt_speech=None,
+        tgt_speech_lengths=None,
     ) -> Dict[str, Any]:
         """NAR inference: predict durations, upsample, decode.
 
         Returns outs (B, T_out_max * r_d, odim), d_outs (B, T_text), and
-        out_lens (B,) valid output frame counts.
+        out_lens (B,) valid output frame counts. When a ground-truth target
+        is provided (debug usage, reference ``aas_vc.py:598-603``), the MAS
+        durations ``ds`` and ``log_p_attn`` are additionally returned.
         """
         xs, ilens = src_speech, src_speech_lengths
         hs, ilens_red = self._encode(xs, ilens, spembs, True)
+        debug: Dict[str, Any] = {}
+        if tgt_speech is not None:
+            ys_red, olens_red = reduce_frames(
+                tgt_speech, tgt_speech_lengths, self.decoder_reduction_factor
+            )
+            x_pad_mask = ~make_non_pad_mask(ilens_red, hs.shape[1])
+            log_p_attn = self.alignment_module(hs, ys_red, x_pad_mask)
+            ds_gt, _ = viterbi_decode(log_p_attn, ilens_red, olens_red)
+            debug = {"ds": ds_gt, "log_p_attn": log_p_attn, "ilens": ilens_red}
         _dp_in = self._dp_features(hs, dp_inputs, True)
         h_nonpad = make_non_pad_mask(ilens_red, hs.shape[1])
 
@@ -353,4 +366,5 @@ class AASVC(nn.Module):
             "outs": after_outs,
             "d_outs": d_outs,
             "out_lens": out_lens_red * self.decoder_reduction_factor,
+            **debug,
         }

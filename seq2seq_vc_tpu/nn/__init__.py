@@ -5,6 +5,8 @@ from .positional_encoding import (  # noqa: F401
     ScaledPositionalEncoding,
     RelPositionalEncoding,
     LegacyRelPositionalEncoding,
+    LearnableFourierPosEnc,
+    StreamPositionalEncoding,
 )
 from .attention import (  # noqa: F401
     MultiHeadedAttention,

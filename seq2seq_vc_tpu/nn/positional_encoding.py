@@ -114,6 +114,47 @@ class RelPositionalEncoding(nn.Module):
         )
 
 
+class LearnableFourierPosEnc(nn.Module):
+    """Learnable Fourier features positional encoding
+    (reference ``layers/positional_encoding.py:109``): x + [sin, cos](pos W)
+    with a learnable (1, d/2) projection W, scaled by 1/sqrt(d)."""
+
+    d_model: int
+    dropout_rate: float = 0.1
+    gamma: float = 1.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        assert self.d_model % 2 == 0
+        w = self.param(
+            "w_r",
+            nn.initializers.normal(stddev=self.gamma / math.sqrt(self.d_model // 2)),
+            (1, self.d_model // 2),
+        )
+        pos = jnp.arange(x.shape[1], dtype=jnp.float32)[:, None]  # (T, 1)
+        proj = pos @ w  # (T, d/2)
+        pe = jnp.concatenate([jnp.cos(proj), jnp.sin(proj)], axis=-1)
+        pe = pe / math.sqrt(self.d_model)
+        x = x + pe[None]
+        return nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
+
+
+class StreamPositionalEncoding(nn.Module):
+    """Positional encoding with an explicit start offset for streaming
+    blocks (reference ``layers/positional_encoding.py:312``)."""
+
+    d_model: int
+    dropout_rate: float = 0.1
+
+    def setup(self):
+        self.dropout = nn.Dropout(self.dropout_rate)
+
+    def __call__(self, x, start_idx: int = 0, deterministic: bool = True):
+        pe = sinusoidal_pe(start_idx + x.shape[1], self.d_model, x.dtype)
+        x = x * math.sqrt(self.d_model) + pe[None, start_idx : start_idx + x.shape[1]]
+        return self.dropout(x, deterministic=deterministic)
+
+
 class LegacyRelPositionalEncoding(nn.Module):
     """Legacy relative PE: positive positions only, pos_emb of length T."""
 

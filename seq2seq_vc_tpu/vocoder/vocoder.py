@@ -62,15 +62,30 @@ def get_vocoder(config: Dict[str, Any], trg_stats=None) -> Vocoder:
     fs = config.get("sampling_rate", 16000)
     voc_cfg = config.get("vocoder") or {}
     if voc_cfg.get("checkpoint"):
-        from .hifigan import load_hifigan_backend
-
         vocoder_stats = None
         if voc_cfg.get("stats"):
             vocoder_stats = {
                 "mean": read_hdf5(voc_cfg["stats"], "mean"),
                 "scale": read_hdf5(voc_cfg["stats"], "scale"),
             }
-        backend = load_hifigan_backend(voc_cfg["checkpoint"], voc_cfg.get("config"))
+        # route by generator family (parallel_wavegan configs carry
+        # generator_type; our own checkpoints are HiFi-GAN)
+        gen_type = "HifiganGenerator"
+        if voc_cfg.get("config"):
+            import yaml
+
+            with open(voc_cfg["config"]) as f:
+                gen_type = (yaml.safe_load(f) or {}).get(
+                    "generator_type", "ParallelWaveGANGenerator"
+                )
+        if "ParallelWaveGAN" in gen_type:
+            from .pwg import load_pwg_backend
+
+            backend = load_pwg_backend(voc_cfg["checkpoint"], voc_cfg.get("config"))
+        else:
+            from .hifigan import load_hifigan_backend
+
+            backend = load_hifigan_backend(voc_cfg["checkpoint"], voc_cfg.get("config"))
         return Vocoder(backend, fs, trg_stats, vocoder_stats)
     backend = Spectrogram2Waveform(
         fs=fs,

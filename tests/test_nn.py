@@ -202,3 +202,21 @@ def test_rel_positional_encoding_shapes():
     (y, pos), _ = pe.init_with_output(jax.random.PRNGKey(0), x)
     assert y.shape == (2, 7, 16)
     assert pos.shape == (1, 13, 16)
+
+
+def test_learnable_fourier_and_stream_pos_enc():
+    import jax
+    import jax.numpy as jnp
+
+    from seq2seq_vc_tpu.nn import LearnableFourierPosEnc, StreamPositionalEncoding
+
+    x = jnp.zeros((2, 7, 16))
+    lf = LearnableFourierPosEnc(16, 0.0)
+    y, params = lf.init_with_output(jax.random.PRNGKey(0), x)
+    assert y.shape == x.shape and np.isfinite(np.asarray(y)).all()
+
+    sp = StreamPositionalEncoding(16, 0.0)
+    p2 = sp.init(jax.random.PRNGKey(0), x)
+    full = sp.apply(p2, jnp.ones((1, 10, 16)))
+    part = sp.apply(p2, jnp.ones((1, 4, 16)), start_idx=6)
+    np.testing.assert_allclose(np.asarray(full)[:, 6:], np.asarray(part), atol=1e-6)
