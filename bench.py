@@ -65,17 +65,19 @@ def main():
     src_d, _ = run(params, src_d, slens_d, jax.random.PRNGKey(3))
     jax.block_until_ready(src_d)  # compile
 
-    n_iter = 20
+    n_iter = 60
     keys = [jax.random.PRNGKey(10 + i) for i in range(n_iter)]
-    jax.block_until_ready(keys)
+    _ = np.asarray(keys[-1])  # force key materialization
+    # fetch-verified timing: the final np.asarray host fetch cannot complete
+    # until every chained execution has actually run (block_until_ready alone
+    # can return early on asynchronous runtimes with deep dispatch queues)
     t0 = time.time()
-    lens_out = []
+    lens = None
     for i in range(n_iter):
-        src_d, l = run(params, src_d, slens_d, keys[i])
-        lens_out.append(l)
-    jax.block_until_ready(src_d)
-    dt = time.time() - t0
-    frames = int(np.asarray(lens_out).sum())
+        src_d, lens = run(params, src_d, slens_d, keys[i])
+    frames_per_call = int(np.asarray(lens).sum())
+    dt = (time.time() - t0) / n_iter
+    frames = frames_per_call
     fps = frames / dt
     print(
         json.dumps(

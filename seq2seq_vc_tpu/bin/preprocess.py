@@ -18,7 +18,6 @@ import logging
 import os
 
 import numpy as np
-import yaml
 from tqdm import tqdm
 
 from ..core.config import load_config
