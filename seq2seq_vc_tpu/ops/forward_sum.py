@@ -88,7 +88,7 @@ def _ctc_single(lp_pd: jnp.ndarray, n_text: jnp.ndarray, n_feats: jnp.ndarray):
         new = jnp.where(t < n_feats, new, alpha)  # freeze past the true length
         return new, None
 
-    alpha, _ = jax.lax.scan(step, alpha0, jnp.arange(1, t_feats))
+    alpha, _ = jax.lax.scan(step, alpha0, jnp.arange(1, t_feats), unroll=8)
     end = jnp.logaddexp(alpha[2 * n_text], alpha[2 * n_text - 1])
     return -end
 

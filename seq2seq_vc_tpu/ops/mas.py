@@ -48,7 +48,7 @@ def _mas_single(log_p_attn: jnp.ndarray, text_len: jnp.ndarray, feats_len: jnp.n
         q_new = jnp.maximum(shifted, q) + lp_j
         return q_new, q_new
 
-    _, q_rest = jax.lax.scan(fwd, q0, lp[:, 1:].T)  # (T_feats-1, T_text)
+    _, q_rest = jax.lax.scan(fwd, q0, lp[:, 1:].T, unroll=8)  # (T_feats-1, T_text)
     q = jnp.concatenate([q0[None], q_rest], axis=0)  # (T_feats, T_text)
 
     # Backtrack: A[feats_len-1] = text_len-1; for j descending,
@@ -66,7 +66,7 @@ def _mas_single(log_p_attn: jnp.ndarray, text_len: jnp.ndarray, feats_len: jnp.n
         return a_j, a_j
 
     js = jnp.arange(T_feats - 1)[::-1]
-    _, path_rev = jax.lax.scan(bwd, last, js)
+    _, path_rev = jax.lax.scan(bwd, last, js, unroll=8)
     path = jnp.concatenate([path_rev[::-1], last[None]])
     return path.astype(jnp.int32), q
 
