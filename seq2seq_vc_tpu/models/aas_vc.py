@@ -98,6 +98,7 @@ class AASVC(nn.Module):
     stochastic_duration_predictor_dds_conv_layers: int = 3
     stochastic_duration_predictor_noise_scale: float = 0.8
     init_type: str = "xavier_uniform"
+    attention_backend: str = "xla"  # 'flash' (requires conformer_rel_pos_type: latest)
 
     def setup(self):
         if self.encoder_type != "conformer":
@@ -127,6 +128,7 @@ class AASVC(nn.Module):
             selfattention_layer_type=self_attn,
             use_cnn_module=self.use_cnn_in_conformer,
             cnn_module_kernel=self.conformer_enc_kernel_size,
+            attention_backend=self.attention_backend,
         )
         if self.spk_embed_dim is not None:
             self.projection = nn.Dense(self.adim)
@@ -175,6 +177,7 @@ class AASVC(nn.Module):
             selfattention_layer_type=self_attn,
             use_cnn_module=self.use_cnn_in_conformer,
             cnn_module_kernel=self.conformer_dec_kernel_size,
+            attention_backend=self.attention_backend,
         )
         self.feat_out = nn.Dense(self.odim * self.decoder_reduction_factor)
         if self.postnet_layers > 0:

@@ -135,6 +135,7 @@ class RelPositionMultiHeadedAttention(nn.Module):
     dropout_rate: float = 0.0
     zero_triu: bool = False
     legacy: bool = False
+    backend: str = "xla"  # 'flash' uses the Pallas rel-pos kernel (new-style only)
 
     @nn.compact
     def __call__(
@@ -164,6 +165,23 @@ class RelPositionMultiHeadedAttention(nn.Module):
 
         q_u = q + pos_bias_u[None, :, None, :]
         q_v = q + pos_bias_v[None, :, None, :]
+
+        if (
+            self.backend == "flash"
+            and not self.legacy
+            and not self.zero_triu
+            and not return_weights
+            and (deterministic or self.dropout_rate == 0.0)
+            and (mask is None or mask.ndim == 2 or (mask.ndim == 3 and mask.shape[1] == 1))
+        ):
+            from ..ops.flash_attention import rel_flash_attention
+
+            kv_lens = None
+            if mask is not None:
+                m2 = mask if mask.ndim == 2 else mask[:, 0, :]
+                kv_lens = m2.sum(-1).astype(jnp.int32)
+            out = rel_flash_attention(q_u, q_v, k, v, p[0], kv_lens=kv_lens)
+            return nn.Dense(self.n_feat, name="linear_out")(_merge_heads(out))
         matrix_ac = jnp.einsum("bhqd,bhkd->bhqk", q_u, k, preferred_element_type=jnp.float32)
         matrix_bd = jnp.einsum("bhqd,bhpd->bhqp", q_v, p, preferred_element_type=jnp.float32)
         matrix_bd = rel_shift(matrix_bd, legacy=self.legacy)

@@ -109,16 +109,18 @@ class ConformerEncoderLayer(nn.Module):
     cnn_module_kernel: int = 31
     conv_norm_type: str = "group_norm"
     zero_triu: bool = False
+    attention_backend: str = "xla"
 
     def setup(self):
         if self.selfattention_layer_type == "selfattn":
             self.self_attn = MultiHeadedAttention(
-                self.n_head, self.size, self.attention_dropout_rate
+                self.n_head, self.size, self.attention_dropout_rate,
+                backend=self.attention_backend,
             )
         elif self.selfattention_layer_type == "rel_selfattn":
             self.self_attn = RelPositionMultiHeadedAttention(
                 self.n_head, self.size, self.attention_dropout_rate,
-                zero_triu=self.zero_triu,
+                zero_triu=self.zero_triu, backend=self.attention_backend,
             )
         elif self.selfattention_layer_type == "legacy_rel_selfattn":
             self.self_attn = LegacyRelPositionMultiHeadedAttention(
@@ -224,6 +226,7 @@ class ConformerEncoder(nn.Module):
     conv_norm_type: str = "group_norm"
     zero_triu: bool = False
     padding_idx: int = 0
+    attention_backend: str = "xla"
 
     @property
     def conv_subsampling_factor(self) -> int:
@@ -266,6 +269,7 @@ class ConformerEncoder(nn.Module):
                 self.cnn_module_kernel,
                 self.conv_norm_type,
                 self.zero_triu,
+                self.attention_backend,
             )
             for _ in range(self.num_blocks)
         ]

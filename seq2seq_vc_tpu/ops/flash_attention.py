@@ -90,6 +90,181 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _block_rel_shift(raw: jnp.ndarray, b: int) -> jnp.ndarray:
+    """Skew band scores raw (b, 2b), where column c' <-> key j = i - b + 1
+    + c', into bd (b, b) with bd[i, j] = raw[i, j - i + b - 1].
+
+    Implemented as a per-row rotation with row stride (Mosaic dynamic
+    rotate): rolling row i right by (1 - b + i) mod 2b makes column j read
+    raw[i, j + b - 1 - i]; valid reads never wrap into garbage.
+    """
+    shift = (1 - b) % (2 * b)  # roll requires a non-negative shift
+    rolled = pltpu.roll(raw, shift=shift, axis=1, stride=1, stride_axis=0)
+    return rolled[:, :b]
+
+
+def _rel_flash_kernel(
+    lens_ref,  # scalar prefetch: (B,) int32 kv lengths
+    qu_ref,  # (1, b, D)   q + pos_bias_u
+    qv_ref,  # (1, b, D)   q + pos_bias_v
+    k_ref,  # (1, b, D)
+    v_ref,  # (1, b, D)
+    plo_ref,  # (1, b, D)  rel-pos table block lo
+    phi_ref,  # (1, b, D)  rel-pos table block hi
+    o_ref,  # (1, b, D)
+    m_scr,
+    l_scr,
+    acc_scr,
+    *,
+    n_heads: int,
+    block: int,
+    scale: float,
+):
+    bh = pl.program_id(0)
+    ki = pl.program_id(2)
+    n_kv = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    ac = jax.lax.dot_general(
+        qu_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    p2 = jnp.concatenate([plo_ref[0], phi_ref[0]], axis=0)  # (2b, D)
+    bd_raw = jax.lax.dot_general(
+        qv_ref[0], p2, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (b, 2b); column c <-> i - j + b
+    bd = _block_rel_shift(bd_raw, block)
+    s = (ac + bd) * scale
+
+    kv_pos = ki * block + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    valid = kv_pos < lens_ref[bh // n_heads]
+    s = jnp.where(valid, s, _NEG_INF)
+
+    m_prev = m_scr[:, :1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+    l_new = alpha * l_scr[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
+    pv = jax.lax.dot_general(
+        p, v_ref[0], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    acc_scr[:] = acc_scr[:] * alpha + pv
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(ki == n_kv - 1)
+    def _():
+        l = l_scr[:, :1]
+        o_ref[0] = (acc_scr[:] / jnp.where(l == 0.0, 1.0, l)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def rel_flash_attention(
+    q_u: jnp.ndarray,
+    q_v: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    pos: jnp.ndarray,
+    kv_lens: Optional[jnp.ndarray] = None,
+    block: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Flash attention with Transformer-XL relative position scores.
+
+    Computes softmax((q_u k^T + rel_shift(q_v p^T)) / sqrt(D)) v blockwise:
+    for each (q block, kv block) pair only the two aligned rel-table blocks
+    covering relative distances (qi - ki)*b + (-b, b) are fetched, and the
+    (b, 2b) band is skewed into the (b, b) score tile in-register — the
+    full (T, 2T-1) rel-score matrix never materializes.
+
+    Args:
+        q_u, q_v: (B, H, T, D) queries with pos_bias_u / pos_bias_v added.
+        k, v: (B, H, T, D).
+        pos: (H, 2T-1, D) head-split projected relative-position table,
+            row p <-> relative distance T-1-p (RelPositionalEncoding order).
+        kv_lens: (B,) valid key lengths.
+    Returns:
+        (B, H, T, D) context.
+    """
+    B, H, T, D = q_u.shape
+    scale = 1.0 / math.sqrt(D)
+    if kv_lens is None:
+        kv_lens = jnp.full((B,), T, jnp.int32)
+    kv_lens = kv_lens.astype(jnp.int32)
+
+    b = block
+    d_pad = _round_up(D, 128)
+    t_pad = _round_up(T, b)
+    n_blk = t_pad // b
+
+    def padq(x):
+        return jnp.pad(
+            x, ((0, 0), (0, 0), (0, t_pad - T), (0, d_pad - D))
+        ).reshape(B * H, t_pad, d_pad)
+
+    qu, qv, kp, vp = padq(q_u), padq(q_v), padq(k), padq(v)
+
+    # rel table in DESCENDING distance order: row r <-> d = 2*t_pad - 1 - r
+    # (matches RelPositionalEncoding row order, no reversal needed), so the
+    # fetched band columns already correspond to increasing key index and
+    # the in-kernel skew is a strided rotate. Entries outside +-(T-1) are
+    # zero; they only meet masked or sliced-away positions.
+    L = 3 * n_blk * b
+    table = jnp.zeros((H, L, d_pad), pos.dtype)
+    # pos row p <-> d = T-1-p  ->  r = 2*t_pad - 1 - d = 2*t_pad - T + p
+    start = 2 * t_pad - T
+    table = jax.lax.dynamic_update_slice(
+        table, jnp.pad(pos, ((0, 0), (0, 0), (0, d_pad - D))), (0, start, 0)
+    )
+
+    grid = (B * H, n_blk, n_blk)
+    kernel = functools.partial(
+        _rel_flash_kernel, n_heads=H, block=b, scale=scale
+    )
+    # lo block index = 2*n_blk - qi + ki - 1; hi = lo + 1: rows lo*b + c
+    # hold distances d = (qi-ki)*b + b-1-c for c in [0, 2b)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, b, d_pad), lambda bh, qi, ki, lens: (bh, qi, 0)),
+                pl.BlockSpec((1, b, d_pad), lambda bh, qi, ki, lens: (bh, qi, 0)),
+                pl.BlockSpec((1, b, d_pad), lambda bh, qi, ki, lens: (bh, ki, 0)),
+                pl.BlockSpec((1, b, d_pad), lambda bh, qi, ki, lens: (bh, ki, 0)),
+                pl.BlockSpec(
+                    (1, b, d_pad),
+                    lambda bh, qi, ki, lens, nb=n_blk, H=H: (
+                        bh % H, 2 * nb - qi + ki - 1, 0
+                    ),
+                ),
+                pl.BlockSpec(
+                    (1, b, d_pad),
+                    lambda bh, qi, ki, lens, nb=n_blk, H=H: (
+                        bh % H, 2 * nb - qi + ki, 0
+                    ),
+                ),
+            ],
+            out_specs=pl.BlockSpec((1, b, d_pad), lambda bh, qi, ki, lens: (bh, qi, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((b, 128), jnp.float32),
+                pltpu.VMEM((b, 128), jnp.float32),
+                pltpu.VMEM((b, d_pad), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B * H, t_pad, d_pad), q_u.dtype),
+        interpret=interpret,
+    )(kv_lens, qu, qv, kp, vp, table, table)
+    return out.reshape(B, H, t_pad, d_pad)[:, :, :T, :D]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("causal", "block_q", "block_kv", "interpret"),
