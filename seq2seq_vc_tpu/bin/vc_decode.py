@@ -50,6 +50,9 @@ def main():
     parser.add_argument("--trg-stats", default=None)
     parser.add_argument("--feat-type", default="mel")
     parser.add_argument("--use-teacher-forcing", action="store_true")
+    parser.add_argument("--batch-size", type=int, default=1,
+                        help="decode N same-bucket utterances per TPU call "
+                             "(the reference decodes one at a time)")
     parser.add_argument("--verbose", type=int, default=1)
     args = parser.parse_args()
 
@@ -147,6 +150,68 @@ def main():
     os.makedirs(wav_dir, exist_ok=True)
     dur_dir = os.path.join(args.outdir, "durations")
     os.makedirs(dur_dir, exist_ok=True)
+
+    # group utterances into same-bucket batches so one compiled program
+    # serves many utterances per TPU call
+    if args.batch_size > 1 and not args.use_teacher_forcing:
+        buckets = {}
+        for idx in range(len(dataset)):
+            T = dataset[idx]["src_feat"].shape[0]
+            buckets.setdefault(_bucket_len(T), []).append(idx)
+        order = [
+            idxs[i : i + args.batch_size]
+            for _, idxs in sorted(buckets.items())
+            for i in range(0, len(idxs), args.batch_size)
+        ]
+        total_frames, total_sec = 0, 0.0
+        for group in tqdm(order):
+            items = [dataset[i] for i in group]
+            Tb = _bucket_len(max(it["src_feat"].shape[0] for it in items))
+            Bn = len(items)
+            xs = np.zeros((Bn, Tb, items[0]["src_feat"].shape[1]), np.float32)
+            ilens = np.zeros((Bn,), np.int32)
+            for bi, it in enumerate(items):
+                xs[bi, : it["src_feat"].shape[0]] = it["src_feat"]
+                ilens[bi] = it["src_feat"].shape[0]
+            dp = None
+            if "dp_input" in items[0]:
+                dp = np.zeros((Bn, Tb, items[0]["dp_input"].shape[1]), np.float32)
+                for bi, it in enumerate(items):
+                    dp[bi, : it["dp_input"].shape[0]] = it["dp_input"]
+                dp = jnp.asarray(dp)
+            key = jax.random.fold_in(
+                jax.random.PRNGKey(config.get("seed", 0)), group[0]
+            )
+            start = time.time()
+            if is_ar:
+                out = run(params, jnp.asarray(xs), jnp.asarray(ilens), key)
+            else:
+                out = run(params, jnp.asarray(xs), jnp.asarray(ilens), key, dp,
+                          max_out=Tb * 2)
+            out_lens = np.asarray(out["out_lens"])
+            outs_all = np.asarray(out["outs"])
+            elapsed = time.time() - start
+            total_frames += int(out_lens.sum())
+            total_sec += elapsed
+            for bi, it in enumerate(items):
+                utt = it["utt_id"]
+                L = int(out_lens[bi])
+                outs = outs_all[bi, :L]
+                write_hdf5(os.path.join(args.outdir, f"{utt}.h5"), "feats",
+                           outs.astype(np.float32))
+                if not is_ar and "d_outs" in out:
+                    np.savetxt(os.path.join(dur_dir, f"{utt}.txt"),
+                               np.asarray(out["d_outs"][bi], np.int64)[None], fmt="%d")
+                y = vocoder.decode(outs)
+                write_wav(os.path.join(wav_dir, f"{utt}.wav"), y, vocoder.fs)
+            logging.info("batch of %d: %d frames in %.3f s (%.1f frames/sec)",
+                         Bn, int(out_lens.sum()), elapsed,
+                         out_lens.sum() / max(elapsed, 1e-9))
+        logging.info(
+            "decode finished: %d frames in %.1f s (avg %.1f mel-frames/sec)",
+            total_frames, total_sec, total_frames / max(total_sec, 1e-9),
+        )
+        return
 
     total_frames, total_sec = 0, 0.0
     for idx in tqdm(range(len(dataset))):
