@@ -213,3 +213,47 @@ def test_aasvc_trainer_steps(tmp_path):
     trainer.run()
     assert trainer.steps == 4
     assert np.isfinite(trainer.total_train_loss["train/loss"])
+
+
+def test_trainer_save_and_resume(tmp_path):
+    """Checkpoint -> resume restores params, optimizer state, and step count."""
+    src, trg = _make_corpus(tmp_path, n=4)
+    model = VTN(idim=80, odim=80, adim=32, aheads=2, elayers=1, eunits=64,
+                dlayers=1, dunits=64, postnet_layers=2, postnet_chans=16,
+                dprenet_units=16, decoder_reduction_factor=2)
+    ds = ParallelVCMelDataset(src, trg)
+    loader = DataLoader(ds, ARVCCollater(pad_multiple=8, reduction_factor=2),
+                        batch_size=4, seed=0)
+    batch = next(iter(loader))
+    keys = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    params = model.init(
+        keys, jnp.asarray(batch["xs"]), jnp.asarray(batch["ilens"]),
+        jnp.asarray(batch["ys"]), jnp.asarray(batch["labels"]),
+        jnp.asarray(batch["olens"]), deterministic=True,
+    )
+    tx, _ = build_optimizer(optimizer_params={"lr": 1e-3},
+                            scheduler_params={"warmup_steps": 10}, grad_norm=1.0)
+    config = {"train_max_steps": 3, "log_interval_steps": 100,
+              "eval_interval_steps": 0, "save_interval_steps": 0,
+              "outdir": str(tmp_path / "exp"), "grad_norm": 1.0}
+    trainer = ARVCTrainer(model, TrainState.create(params, tx),
+                          {"Seq2SeqLoss": get_criterion("Seq2SeqLoss")},
+                          config, loader, mesh=None, writer=False)
+    trainer.run()
+    assert trainer.steps == 3
+    ckpt = str(tmp_path / "exp" / "ck.ckpt")
+    trainer.save_checkpoint(ckpt)
+
+    trainer2 = ARVCTrainer(model, TrainState.create(params, tx),
+                           {"Seq2SeqLoss": get_criterion("Seq2SeqLoss")},
+                           dict(config, train_max_steps=5), loader,
+                           mesh=None, writer=False)
+    trainer2.load_checkpoint(ckpt)
+    assert trainer2.steps == 3
+    # params restored exactly
+    a = jax.tree_util.tree_leaves(trainer.state.params)
+    b = jax.tree_util.tree_leaves(trainer2.state.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    trainer2.run()  # continues to 5
+    assert trainer2.steps == 5
