@@ -132,5 +132,8 @@ class Wav2WavConverter:
             self.model_params, self.vocoder_params, jnp.asarray(x),
             jnp.asarray(n_true, jnp.int32), rng,
         )
-        n_samples = int(out_len) * dr * self.hop_size
+        # AASVC.inference already returns out_lens in full (un-reduced)
+        # decoder frames (out_lens_red * decoder_reduction_factor).
+        self.last_out_frames = int(out_len)
+        n_samples = self.last_out_frames * self.hop_size
         return np.asarray(wav[:n_samples])

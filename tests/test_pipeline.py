@@ -49,3 +49,45 @@ def test_wav2wav_pipeline_roundtrip():
     y2 = conv(audio * 0.9, rng=jax.random.PRNGKey(7))
     assert len(conv._jit_cache) == 1
     assert np.isfinite(y2).all()
+
+
+def test_wav2wav_pipeline_decoder_reduction_factor():
+    """Output sample count must be out_frames * hop, with no double
+    application of decoder_reduction_factor (regression: pipeline used to
+    multiply AASVC.inference's already-expanded out_lens by dr again)."""
+    sr = 16000
+    model = AASVC(
+        idim=80, odim=80, adim=32, aheads=2, elayers=1, eunits=64,
+        dlayers=1, dunits=64, postnet_layers=0,
+        post_encoder_reduction_factor=2, decoder_reduction_factor=2,
+        duration_predictor_type="deterministic",
+        conformer_enc_kernel_size=7, conformer_dec_kernel_size=7,
+    )
+    voc = HifiganGenerator(
+        in_channels=80, upsample_channels=32,
+        upsample_kernel_sizes=(16, 16, 4, 4), upsample_factors=(8, 8, 2, 2),
+        resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3),),
+    )
+    rng = np.random.default_rng(0)
+    dummy_mel = rng.standard_normal((1, 32, 80)).astype(np.float32)
+    lens = np.asarray([32], np.int32)
+    keys = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+            "noise": jax.random.PRNGKey(2)}
+    mp = jax.jit(
+        lambda m, l: model.init(keys, m, l, m, l, m, l, deterministic=True)
+    )(dummy_mel, lens)
+    vp = jax.jit(lambda m: voc.init(jax.random.PRNGKey(3), m))(dummy_mel)
+
+    stats = {"mean": np.zeros(80, np.float32), "scale": np.ones(80, np.float32)}
+    config = {"sampling_rate": sr, "fft_size": 1024, "hop_size": 256,
+              "num_mels": 80, "fmin": 80, "fmax": 7600}
+    conv = Wav2WavConverter(model, mp, voc, vp, stats, stats, config,
+                            bucket_frames=32)
+
+    t = np.arange(sr // 2) / sr
+    audio = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    y = conv(audio)
+    # out_lens from the model is in full decoder frames already
+    assert conv.last_out_frames % 2 == 0  # multiple of dr by construction
+    assert len(y) == conv.last_out_frames * 256
+    assert np.isfinite(y).all()
