@@ -53,7 +53,7 @@ class AASVCTrainer(Trainer):
         batch["bb_prior"] = beta_binomial_prior(ilens_r, olens_r, t_text, t_feats)
         return super()._array_batch(batch)
 
-    def loss_fn(self, params, batch, rngs, flags):
+    def loss_fn(self, params, batch, rngs, flags, deterministic=False):
         (dp_active,) = flags
         out = self.model.apply(
             params,
@@ -63,7 +63,7 @@ class AASVCTrainer(Trainer):
             batch["olens"],
             batch.get("dp_inputs"),
             batch.get("dplens"),
-            deterministic=False,
+            deterministic=deterministic,
             rngs=rngs,
         )
         metrics: Dict[str, Any] = {}

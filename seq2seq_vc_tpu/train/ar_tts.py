@@ -7,7 +7,7 @@ from .ar_vc import ARVCTrainer
 
 
 class ARTTSTrainer(ARVCTrainer):
-    def loss_fn(self, params, batch, rngs, flags):
+    def loss_fn(self, params, batch, rngs, flags, deterministic=False):
         out = self.model.apply(
             params,
             batch["xs"],
@@ -15,7 +15,7 @@ class ARTTSTrainer(ARVCTrainer):
             batch["ys"],
             batch["labels"],
             batch["olens"],
-            deterministic=False,
+            deterministic=deterministic,
             rngs=rngs,
         )
         l1_loss, bce_loss = self.criterion["Seq2SeqLoss"](

@@ -16,7 +16,7 @@ from .trainer import Trainer
 
 
 class ARVCTrainer(Trainer):
-    def loss_fn(self, params, batch, rngs, flags):
+    def loss_fn(self, params, batch, rngs, flags, deterministic=False):
         out = self.model.apply(
             params,
             batch["xs"],
@@ -24,7 +24,7 @@ class ARVCTrainer(Trainer):
             batch["ys"],
             batch["labels"],
             batch["olens"],
-            deterministic=False,
+            deterministic=deterministic,
             rngs=rngs,
         )
         l1_loss, bce_loss = self.criterion["Seq2SeqLoss"](

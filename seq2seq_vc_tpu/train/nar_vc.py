@@ -11,7 +11,7 @@ from .trainer import Trainer
 
 
 class NARVCTrainer(Trainer):
-    def loss_fn(self, params, batch, rngs, flags):
+    def loss_fn(self, params, batch, rngs, flags, deterministic=False):
         out = self.model.apply(
             params,
             batch["xs"],
@@ -22,7 +22,7 @@ class NARVCTrainer(Trainer):
             batch.get("duration_lens"),
             batch.get("dp_inputs"),
             batch.get("dplens"),
-            deterministic=False,
+            deterministic=deterministic,
             rngs=rngs,
         )
         l1 = self.criterion["L1Loss"](

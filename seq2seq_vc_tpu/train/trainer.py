@@ -67,7 +67,15 @@ class Trainer:
             except Exception:  # pragma: no cover - tensorboard optional
                 self.writer = None
         self._jit_cache: Dict[Any, Any] = {}
-        self._step_times: list = []
+        # steps counts OPTIMIZER steps (reference trainers/base.py:65,135-136);
+        # with gradient accumulation each optimizer step spans grad_accum
+        # micro-batches (optax.MultiSteps applies the update on the last one).
+        self.grad_accum = int(config.get("gradient_accumulate_steps", 1) or 1)
+        self._micro_total = self.steps * self.grad_accum
+        # metrics stay on device until the log interval; fetching every step
+        # would force a host sync per step and kill device/host overlap.
+        self._pending_metrics: list = []
+        self._interval_tick = time.time()
 
     # ------------------------------------------------------------------ api
     def run(self):
@@ -79,7 +87,7 @@ class Trainer:
         logging.info("finished training (%d steps)", self.steps)
 
     # ----------------------------------------------------------------- core
-    def loss_fn(self, params, batch, rngs, flags):
+    def loss_fn(self, params, batch, rngs, flags, deterministic=False):
         raise NotImplementedError
 
     def _flags(self) -> Any:
@@ -103,7 +111,7 @@ class Trainer:
             rngs = {"dropout": k1, "noise": k2}
 
             def lf(params):
-                return self.loss_fn(params, batch, rngs, flags)
+                return self.loss_fn(params, batch, rngs, flags, deterministic=False)
 
             (loss, metrics), grads = jax.value_and_grad(lf, has_aux=True)(state.params)
             new_state = state.apply_gradients(grads)
@@ -121,8 +129,14 @@ class Trainer:
             return self._jit_cache[key]
 
         def eval_step(params, batch, rng):
+            # deterministic=True: dev losses must not be train-mode noisy
+            # (rngs still threaded for modules with always-on dropout, e.g.
+            # the Tacotron prenet, matching the reference's eval behavior).
             k1, k2 = jax.random.split(rng)
-            return self.loss_fn(params, batch, {"dropout": k1, "noise": k2}, flags)
+            return self.loss_fn(
+                params, batch, {"dropout": k1, "noise": k2}, flags,
+                deterministic=True,
+            )
 
         fn = jax.jit(eval_step)
         self._jit_cache[key] = fn
@@ -130,21 +144,23 @@ class Trainer:
 
     def _train_step(self, batch: Dict[str, Any]):
         arrays = self._array_batch(batch)
-        rng = jax.random.fold_in(self.rng, self.steps)
+        rng = jax.random.fold_in(self.rng, self._micro_total)
         fn = self._get_step_fn(self._flags())
-        t0 = time.time()
         self.state, metrics = fn(self.state, arrays, rng)
-        jax.block_until_ready(metrics["loss"])
-        self._step_times.append(time.time() - t0)
-        for k, v in metrics.items():
-            self.total_train_loss[f"train/{k}"] += float(v)
-        self.steps += 1
-        self._check_train_finish()
+        # defer the host fetch to the log interval; keep the step async
+        self._pending_metrics.append(metrics)
+        self._micro_total += 1
+        boundary = self._micro_total % self.grad_accum == 0
+        if boundary:
+            self.steps += 1
+            self._check_train_finish()
+        return boundary
 
     def _train_epoch(self):
         for batch in self.train_loader:
-            self._train_step(batch)
-            if is_coordinator():
+            boundary = self._train_step(batch)
+            # interval checks fire once per OPTIMIZER step, not per micro-batch
+            if boundary and is_coordinator():
                 self._check_log_interval()
                 self._check_eval_interval()
                 self._check_save_interval()
@@ -159,8 +175,15 @@ class Trainer:
 
     def _check_log_interval(self):
         interval = self.config.get("log_interval_steps", 100)
-        if self.steps % interval == 0 and self.steps > 0 and self.total_train_loss:
-            avg_t = float(np.mean(self._step_times)) if self._step_times else 0.0
+        if self.steps % interval == 0 and self.steps > 0 and self._pending_metrics:
+            # one host sync per interval: wait for the last dispatched step,
+            # then fetch the (already computed) deferred metrics.
+            jax.block_until_ready(self._pending_metrics[-1]["loss"])
+            n_micro = len(self._pending_metrics)
+            avg_t = (time.time() - self._interval_tick) / max(n_micro, 1)
+            for metrics in self._pending_metrics:
+                for k, v in metrics.items():
+                    self.total_train_loss[f"train/{k}"] += float(v)
             for key, value in self.total_train_loss.items():
                 avg = value / interval
                 logging.info("(steps: %d) %s = %.4f.", self.steps, key, avg)
@@ -169,7 +192,8 @@ class Trainer:
             if self.writer:
                 self.writer.add_scalar("train/step_time_sec", avg_t, self.steps)
             self.total_train_loss = defaultdict(float)
-            self._step_times = []
+            self._pending_metrics = []
+            self._interval_tick = time.time()
 
     def _check_eval_interval(self):
         interval = self.config.get("eval_interval_steps", 0)
@@ -236,3 +260,4 @@ class Trainer:
             )
             self.steps = restored["steps"]
             self.epochs = restored["epochs"]
+            self._micro_total = self.steps * self.grad_accum

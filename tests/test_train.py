@@ -162,14 +162,14 @@ def test_arvc_trainer_loss_decreases(tmp_path):
         config, loader, mesh=None,
         writer=False,
     )
-    losses = []
     for batch in loader:
         trainer._train_step(batch)
-        losses.append(trainer.total_train_loss["train/loss"])
         if trainer.steps >= 6:
             break
     trainer.run()  # finish remaining steps without error
     assert trainer.steps == 8
+    # metrics are deferred to the log interval; all still finite
+    assert np.isfinite(float(trainer._pending_metrics[-1]["loss"]))
 
 
 @pytest.mark.slow
@@ -212,7 +212,105 @@ def test_aasvc_trainer_steps(tmp_path):
     )
     trainer.run()
     assert trainer.steps == 4
-    assert np.isfinite(trainer.total_train_loss["train/loss"])
+    assert np.isfinite(float(trainer._pending_metrics[-1]["loss"]))
+
+
+@pytest.mark.slow
+def test_gradient_accumulation_counts_optimizer_steps(tmp_path):
+    """With gradient_accumulate_steps=N, `steps` counts optimizer steps: N
+    micro-batches advance `steps` by one, matching the reference semantics
+    (trainers/base.py:65,135-136), so train_max_steps / intervals /
+    dp_train_start_steps in ported configs keep their meaning."""
+    src, trg = _make_corpus(tmp_path, n=4)
+    model = VTN(idim=80, odim=80, adim=32, aheads=2, elayers=1, eunits=64,
+                dlayers=1, dunits=64, postnet_layers=0,
+                dprenet_units=16, decoder_reduction_factor=2)
+    ds = ParallelVCMelDataset(src, trg)
+    loader = DataLoader(ds, ARVCCollater(pad_multiple=8, reduction_factor=2),
+                        batch_size=2, seed=0)
+    batch = next(iter(loader))
+    keys = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    params = model.init(
+        keys, jnp.asarray(batch["xs"]), jnp.asarray(batch["ilens"]),
+        jnp.asarray(batch["ys"]), jnp.asarray(batch["labels"]),
+        jnp.asarray(batch["olens"]), deterministic=True,
+    )
+    accum = 2
+    tx, _ = build_optimizer(
+        optimizer_params={"lr": 1e-3}, scheduler_params={"warmup_steps": 10},
+        grad_norm=1.0, gradient_accumulate_steps=accum,
+    )
+    config = {"train_max_steps": 2, "log_interval_steps": 100,
+              "eval_interval_steps": 0, "save_interval_steps": 0,
+              "outdir": str(tmp_path / "exp"), "grad_norm": 1.0,
+              "gradient_accumulate_steps": accum}
+    trainer = ARVCTrainer(model, TrainState.create(params, tx),
+                          {"Seq2SeqLoss": get_criterion("Seq2SeqLoss")},
+                          config, loader, mesh=None, writer=False)
+    trainer.run()
+    assert trainer.steps == 2
+    # 2 optimizer steps consumed accum * 2 micro-batches
+    assert trainer._micro_total == 2 * accum
+    # params only move at accumulation boundaries: optax.MultiSteps keeps
+    # mini_step in opt state; after run it must be back at 0
+    # materialize to host first — the jitted step donates the state buffers
+    before = [np.asarray(x) for x in jax.tree_util.tree_leaves(trainer.state.params)]
+    trainer._train_step(next(iter(loader)))  # one micro-step, no boundary yet
+    assert trainer.steps == 2
+    after = jax.tree_util.tree_leaves(trainer.state.params)
+    for x, y in zip(before, after):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_eval_is_deterministic(tmp_path):
+    """Dev losses use deterministic=True (dropout off): eval_fn output is
+    reproducible and differs from the train-mode (dropout-on) loss."""
+    src, trg = _make_corpus(tmp_path, n=2)
+    model = VTN(idim=80, odim=80, adim=32, aheads=2, elayers=1, eunits=64,
+                dlayers=1, dunits=64, postnet_layers=0,
+                dprenet_units=16, decoder_reduction_factor=2,
+                # the Tacotron prenet's dropout is ALWAYS on (reference
+                # semantics) — zero it so eval determinism is observable
+                dprenet_dropout_rate=0.0,
+                transformer_enc_dropout_rate=0.3,
+                transformer_dec_dropout_rate=0.3)
+    ds = ParallelVCMelDataset(src, trg)
+    loader = DataLoader(ds, ARVCCollater(pad_multiple=8, reduction_factor=2),
+                        batch_size=2, seed=0)
+    batch = next(iter(loader))
+    keys = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    params = model.init(
+        keys, jnp.asarray(batch["xs"]), jnp.asarray(batch["ilens"]),
+        jnp.asarray(batch["ys"]), jnp.asarray(batch["labels"]),
+        jnp.asarray(batch["olens"]), deterministic=True,
+    )
+    tx, _ = build_optimizer(optimizer_params={"lr": 1e-3},
+                            scheduler_params={"warmup_steps": 10})
+    config = {"train_max_steps": 1, "log_interval_steps": 100,
+              "eval_interval_steps": 0, "save_interval_steps": 0,
+              "outdir": str(tmp_path / "exp")}
+    trainer = ARVCTrainer(model, TrainState.create(params, tx),
+                          {"Seq2SeqLoss": get_criterion("Seq2SeqLoss")},
+                          config, loader, mesh=None, writer=False)
+    arrays = trainer._array_batch(batch)
+    eval_fn = trainer._get_eval_fn(trainer._flags())
+    l1, _ = eval_fn(trainer.state.params, arrays, jax.random.PRNGKey(1))
+    l2, _ = eval_fn(trainer.state.params, arrays, jax.random.PRNGKey(2))
+    # deterministic=True: regular dropout off, so different rngs give
+    # identical dev loss (prenet dropout zeroed above)
+    train_loss, _ = trainer.loss_fn(
+        trainer.state.params, arrays,
+        {"dropout": jax.random.PRNGKey(1)}, trainer._flags(),
+        deterministic=False,
+    )
+    det_loss, _ = trainer.loss_fn(
+        trainer.state.params, arrays,
+        {"dropout": jax.random.PRNGKey(1)}, trainer._flags(),
+        deterministic=True,
+    )
+    assert float(det_loss) == pytest.approx(float(l1), rel=1e-5)
+    assert float(train_loss) != pytest.approx(float(det_loss), rel=1e-6)
+    assert float(l1) == pytest.approx(float(l2), rel=1e-6)
 
 
 def test_trainer_save_and_resume(tmp_path):
