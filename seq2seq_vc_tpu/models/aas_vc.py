@@ -98,7 +98,7 @@ class AASVC(nn.Module):
     stochastic_duration_predictor_dds_conv_layers: int = 3
     stochastic_duration_predictor_noise_scale: float = 0.8
     init_type: str = "xavier_uniform"
-    attention_backend: str = "xla"  # 'flash' (requires conformer_rel_pos_type: latest)
+    attention_backend: str = "xla"  # 'flash': Pallas kernels (legacy + latest rel-pos)
 
     def setup(self):
         if self.encoder_type != "conformer":
@@ -368,6 +368,7 @@ class AASVC(nn.Module):
         return {
             "outs": after_outs,
             "d_outs": d_outs,
+            "d_lens": ilens_red,  # valid length of the duration grid
             "out_lens": out_lens_red * self.decoder_reduction_factor,
             **debug,
         }

@@ -75,6 +75,7 @@ class FastSpeechVC(nn.Module):
     duration_predictor_dropout_rate: float = 0.1
     postnet_dropout_rate: float = 0.5
     init_type: str = "xavier_uniform"
+    attention_backend: str = "xla"  # 'flash': Pallas kernels (legacy + latest rel-pos)
     init_enc_alpha: float = 1.0
     init_dec_alpha: float = 1.0
     use_masking: bool = False
@@ -119,6 +120,7 @@ class FastSpeechVC(nn.Module):
                 selfattention_layer_type=self_attn,
                 use_cnn_module=self.use_cnn_in_conformer,
                 cnn_module_kernel=self.conformer_enc_kernel_size,
+                attention_backend=self.attention_backend,
             )
         else:
             raise NotImplementedError(self.encoder_type)
@@ -171,6 +173,7 @@ class FastSpeechVC(nn.Module):
                 selfattention_layer_type=self_attn,
                 use_cnn_module=self.use_cnn_in_conformer,
                 cnn_module_kernel=self.conformer_dec_kernel_size,
+                attention_backend=self.attention_backend,
             )
         else:
             raise NotImplementedError(self.decoder_type)
@@ -314,5 +317,6 @@ class FastSpeechVC(nn.Module):
         return {
             "outs": after_outs,
             "d_outs": d_outs,
+            "d_lens": ilens_red,  # valid length of the duration grid
             "out_lens": out_lens * self.decoder_reduction_factor,
         }

@@ -168,7 +168,6 @@ class RelPositionMultiHeadedAttention(nn.Module):
 
         if (
             self.backend == "flash"
-            and not self.legacy
             and not self.zero_triu
             and not return_weights
             and (deterministic or self.dropout_rate == 0.0)
@@ -180,7 +179,9 @@ class RelPositionMultiHeadedAttention(nn.Module):
             if mask is not None:
                 m2 = mask if mask.ndim == 2 else mask[:, 0, :]
                 kv_lens = m2.sum(-1).astype(jnp.int32)
-            out = rel_flash_attention(q_u, q_v, k, v, p[0], kv_lens=kv_lens)
+            out = rel_flash_attention(
+                q_u, q_v, k, v, p[0], kv_lens=kv_lens, legacy=self.legacy
+            )
             return nn.Dense(self.n_feat, name="linear_out")(_merge_heads(out))
         matrix_ac = jnp.einsum("bhqd,bhkd->bhqk", q_u, k, preferred_element_type=jnp.float32)
         matrix_bd = jnp.einsum("bhqd,bhpd->bhqp", q_v, p, preferred_element_type=jnp.float32)

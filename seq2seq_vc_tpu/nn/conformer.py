@@ -125,7 +125,7 @@ class ConformerEncoderLayer(nn.Module):
         elif self.selfattention_layer_type == "legacy_rel_selfattn":
             self.self_attn = LegacyRelPositionMultiHeadedAttention(
                 self.n_head, self.size, self.attention_dropout_rate,
-                zero_triu=self.zero_triu,
+                zero_triu=self.zero_triu, backend=self.attention_backend,
             )
         else:
             raise ValueError(self.selfattention_layer_type)

@@ -164,7 +164,7 @@ def _rel_flash_kernel(
         o_ref[0] = (acc_scr[:] / jnp.where(l == 0.0, 1.0, l)).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+@functools.partial(jax.jit, static_argnames=("block", "interpret", "legacy"))
 def rel_flash_attention(
     q_u: jnp.ndarray,
     q_v: jnp.ndarray,
@@ -173,7 +173,8 @@ def rel_flash_attention(
     pos: jnp.ndarray,
     kv_lens: Optional[jnp.ndarray] = None,
     block: int = 128,
-    interpret: bool = False,
+    interpret: Optional[bool] = None,
+    legacy: bool = False,
 ) -> jnp.ndarray:
     """Flash attention with Transformer-XL relative position scores.
 
@@ -183,15 +184,35 @@ def rel_flash_attention(
     (b, 2b) band is skewed into the (b, b) score tile in-register — the
     full (T, 2T-1) rel-score matrix never materializes.
 
+    ``legacy=True`` reproduces the reference's
+    LegacyRelPositionMultiHeadedAttention (``modules/transformer/
+    attention.py:114-206``) exactly, including the view-based rel_shift's
+    wrap-around semantics for future positions:
+
+        bd[i, j] = qv_i     . p_{T-1-(i-j)}   for j <= i
+        bd[i, j] = 0                          for j == i + 1
+        bd[i, j] = qv_{i+1} . p_{j-i-2}       for j >= i + 2
+
+    All three cases fold into ONE band matmul by concatenating the query
+    features with a one-row-shifted copy ([qv_i, qv_{i+1}]) and stacking a
+    second position table in the extra feature columns, so the legacy path
+    reuses the same kernel at 2x the qv/pos feature width.
+
     Args:
         q_u, q_v: (B, H, T, D) queries with pos_bias_u / pos_bias_v added.
         k, v: (B, H, T, D).
-        pos: (H, 2T-1, D) head-split projected relative-position table,
-            row p <-> relative distance T-1-p (RelPositionalEncoding order).
+        pos: head-split projected relative-position table. New style:
+            (H, 2T-1, D), row p <-> relative distance T-1-p
+            (RelPositionalEncoding order). Legacy: (H, T, D), row p <->
+            absolute position p (LegacyRelPositionalEncoding order).
         kv_lens: (B,) valid key lengths.
+        interpret: run the kernel in interpreter mode (None = auto: real
+            kernel on TPU, interpreter elsewhere so tests run on CPU).
     Returns:
         (B, H, T, D) context.
     """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     B, H, T, D = q_u.shape
     scale = 1.0 / math.sqrt(D)
     if kv_lens is None:
@@ -202,13 +223,23 @@ def rel_flash_attention(
     d_pad = _round_up(D, 128)
     t_pad = _round_up(T, b)
     n_blk = t_pad // b
+    qw = 2 * d_pad if legacy else d_pad  # qv / pos-table feature width
 
     def padq(x):
         return jnp.pad(
             x, ((0, 0), (0, 0), (0, t_pad - T), (0, d_pad - D))
         ).reshape(B * H, t_pad, d_pad)
 
-    qu, qv, kp, vp = padq(q_u), padq(q_v), padq(k), padq(v)
+    qu, kp, vp = padq(q_u), padq(k), padq(v)
+    if legacy:
+        # columns [0, D): qv_i ; columns [d_pad, d_pad+D): qv_{i+1}
+        q_next = jnp.pad(q_v[:, :, 1:], ((0, 0), (0, 0), (0, 1), (0, 0)))
+        qv = jnp.zeros((B, H, t_pad, qw), q_v.dtype)
+        qv = qv.at[:, :, :T, :D].set(q_v)
+        qv = qv.at[:, :, :T, d_pad : d_pad + D].set(q_next)
+        qv = qv.reshape(B * H, t_pad, qw)
+    else:
+        qv = padq(q_v)
 
     # rel table in DESCENDING distance order: row r <-> d = 2*t_pad - 1 - r
     # (matches RelPositionalEncoding row order, no reversal needed), so the
@@ -216,12 +247,28 @@ def rel_flash_attention(
     # the in-kernel skew is a strided rotate. Entries outside +-(T-1) are
     # zero; they only meet masked or sliced-away positions.
     L = 3 * n_blk * b
-    table = jnp.zeros((H, L, d_pad), pos.dtype)
-    # pos row p <-> d = T-1-p  ->  r = 2*t_pad - 1 - d = 2*t_pad - T + p
+    table = jnp.zeros((H, L, qw), pos.dtype)
     start = 2 * t_pad - T
-    table = jax.lax.dynamic_update_slice(
-        table, jnp.pad(pos, ((0, 0), (0, 0), (0, d_pad - D))), (0, start, 0)
-    )
+    if legacy:
+        # d >= 0 term: value p_{T-1-d} -> row r = start + p_idx, cols [0, D)
+        table = jax.lax.dynamic_update_slice(
+            table, jnp.pad(pos, ((0, 0), (0, 0), (0, qw - D))), (0, start, 0)
+        )
+        # d <= -2 term: value p_{-d-2} -> row r = 2*t_pad + 1 + p_idx,
+        # cols [d_pad, d_pad+D). Only p rows < T-2 are ever met by valid
+        # keys; cap additionally at t_pad-1 rows to stay inside the table.
+        n_b = max(0, min(T - 2, t_pad - 1))
+        if n_b > 0:
+            table = jax.lax.dynamic_update_slice(
+                table,
+                jnp.pad(pos[:, :n_b], ((0, 0), (0, 0), (d_pad, qw - d_pad - D))),
+                (0, 2 * t_pad + 1, 0),
+            )
+    else:
+        # pos row p <-> d = T-1-p  ->  r = 2*t_pad - 1 - d = 2*t_pad - T + p
+        table = jax.lax.dynamic_update_slice(
+            table, jnp.pad(pos, ((0, 0), (0, 0), (0, d_pad - D))), (0, start, 0)
+        )
 
     grid = (B * H, n_blk, n_blk)
     kernel = functools.partial(
@@ -236,17 +283,17 @@ def rel_flash_attention(
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, b, d_pad), lambda bh, qi, ki, lens: (bh, qi, 0)),
-                pl.BlockSpec((1, b, d_pad), lambda bh, qi, ki, lens: (bh, qi, 0)),
+                pl.BlockSpec((1, b, qw), lambda bh, qi, ki, lens: (bh, qi, 0)),
                 pl.BlockSpec((1, b, d_pad), lambda bh, qi, ki, lens: (bh, ki, 0)),
                 pl.BlockSpec((1, b, d_pad), lambda bh, qi, ki, lens: (bh, ki, 0)),
                 pl.BlockSpec(
-                    (1, b, d_pad),
+                    (1, b, qw),
                     lambda bh, qi, ki, lens, nb=n_blk, H=H: (
                         bh % H, 2 * nb - qi + ki - 1, 0
                     ),
                 ),
                 pl.BlockSpec(
-                    (1, b, d_pad),
+                    (1, b, qw),
                     lambda bh, qi, ki, lens, nb=n_blk, H=H: (
                         bh % H, 2 * nb - qi + ki, 0
                     ),
@@ -277,7 +324,7 @@ def flash_attention(
     causal: bool = False,
     block_q: int = 128,
     block_kv: int = 128,
-    interpret: bool = False,
+    interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Flash attention.
 
@@ -286,9 +333,13 @@ def flash_attention(
         k, v: (B, H, Tk, D) keys/values.
         kv_lens: (B,) valid key lengths (padding mask); defaults to Tk.
         causal: apply a causal mask (Tq must equal Tk positionally).
+        interpret: run the kernel in interpreter mode (None = auto: real
+            kernel on TPU, interpreter elsewhere so tests run on CPU).
     Returns:
         (B, H, Tq, D) context. Fully-masked query rows return zeros.
     """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     B, H, Tq, D = q.shape
     Tk = k.shape[2]
     scale = 1.0 / math.sqrt(D)
