@@ -53,6 +53,8 @@ def main():
     parser.add_argument("--batch-size", type=int, default=1,
                         help="decode N same-bucket utterances per TPU call "
                              "(the reference decodes one at a time)")
+    parser.add_argument("--skip-plots", action="store_true",
+                        help="skip mel/attention/stop-prob diagnostic plots")
     parser.add_argument("--verbose", type=int, default=1)
     args = parser.parse_args()
 
@@ -200,8 +202,22 @@ def main():
                 write_hdf5(os.path.join(args.outdir, f"{utt}.h5"), "feats",
                            outs.astype(np.float32))
                 if not is_ar and "d_outs" in out:
+                    # exact-length dump (padded text axis trimmed via d_lens)
+                    dl = int(out["d_lens"][bi]) if "d_lens" in out else None
                     np.savetxt(os.path.join(dur_dir, f"{utt}.txt"),
-                               np.asarray(out["d_outs"][bi], np.int64)[None], fmt="%d")
+                               np.asarray(out["d_outs"][bi][:dl], np.int64)[None],
+                               fmt="%d")
+                if not args.skip_plots:
+                    from ..utils.plot import plot_1d, plot_2d, plot_attention
+
+                    plot_2d(outs, os.path.join(args.outdir, "outs", f"{utt}.png"))
+                    if is_ar:
+                        plot_1d(np.asarray(out["probs"][bi, :L]),
+                                os.path.join(args.outdir, "probs", f"{utt}_prob.png"))
+                        plot_attention(
+                            np.asarray(out["att_ws"][:, bi]),
+                            os.path.join(args.outdir, "att_ws", f"{utt}_att_ws.png"),
+                        )
                 y = vocoder.decode(outs)
                 write_wav(os.path.join(wav_dir, f"{utt}.wav"), y, vocoder.fs)
             logging.info("batch of %d: %d frames in %.3f s (%.1f frames/sec)",
@@ -256,6 +272,14 @@ def main():
             total_frames += L
             total_sec += elapsed
             write_hdf5(os.path.join(args.outdir, f"{utt}.h5"), "feats", outs.astype(np.float32))
+            if not args.skip_plots:
+                from ..utils.plot import plot_2d, plot_attention
+
+                plot_2d(outs, os.path.join(args.outdir, "outs", f"{utt}.png"))
+                plot_attention(
+                    att[:, :, :t_red, :s_len],
+                    os.path.join(args.outdir, "att_ws", f"{utt}_att_ws.png"),
+                )
             y = vocoder.decode(outs)
             write_wav(os.path.join(wav_dir, f"{utt}.wav"), y, vocoder.fs)
             continue
@@ -277,11 +301,23 @@ def main():
 
         write_hdf5(os.path.join(args.outdir, f"{utt}.h5"), "feats", outs.astype(np.float32))
         if not is_ar and "d_outs" in out:
+            dl = int(out["d_lens"][0]) if "d_lens" in out else None
             np.savetxt(
                 os.path.join(dur_dir, f"{utt}.txt"),
-                np.asarray(out["d_outs"][0], np.int64)[None],
+                np.asarray(out["d_outs"][0][:dl], np.int64)[None],
                 fmt="%d",
             )
+        if not args.skip_plots:
+            from ..utils.plot import plot_1d, plot_2d, plot_attention
+
+            plot_2d(outs, os.path.join(args.outdir, "outs", f"{utt}.png"))
+            if is_ar:
+                plot_1d(np.asarray(out["probs"][0, :L]),
+                        os.path.join(args.outdir, "probs", f"{utt}_prob.png"))
+                plot_attention(
+                    np.asarray(out["att_ws"][:, 0]),
+                    os.path.join(args.outdir, "att_ws", f"{utt}_att_ws.png"),
+                )
         y = vocoder.decode(outs)
         write_wav(os.path.join(wav_dir, f"{utt}.wav"), y, vocoder.fs)
 
