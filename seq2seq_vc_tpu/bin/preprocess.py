@@ -75,8 +75,19 @@ def main():
         format="%(asctime)s (%(module)s:%(lineno)d) %(levelname)s: %(message)s",
     )
     config = load_config(args.config)
+    segments = None
     if args.segments:
-        raise NotImplementedError("kaldi segments files are not supported yet")
+        # kaldi segments: "utt_id rec_id start_sec end_sec" — utterances are
+        # sliced out of the recordings named in wav.scp (reference
+        # bin/preprocess.py uses kaldiio's segments-aware loader)
+        segments = {}
+        with open(args.segments) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) != 4:
+                    continue
+                utt, rec, start, end = parts
+                segments[utt] = (rec, float(start), float(end))
 
     sr = config["sampling_rate"]
     feat_list = config.get("feat_list", {"mel": {}})
@@ -99,10 +110,21 @@ def main():
 
     os.makedirs(args.dumpdir, exist_ok=True)
     scp = read_scp(args.wav_scp)
-    for utt_id, wav_path in tqdm(scp.items()):
+    if segments is not None:
+        items = [
+            (utt, scp[rec], (start, end))
+            for utt, (rec, start, end) in segments.items()
+            if rec in scp
+        ]
+    else:
+        items = [(utt, path, None) for utt, path in scp.items()]
+    for utt_id, wav_path, seg in tqdm(items):
         audio, orig_sr = read_wav(wav_path)
         if audio.ndim > 1:
             audio = audio.mean(axis=1)
+        if seg is not None:
+            start, end = seg
+            audio = audio[int(start * orig_sr) : int(end * orig_sr)]
         audio = resample(audio, orig_sr, sr)
         if config.get("trim_silence", False):
             audio = trim_silence(
