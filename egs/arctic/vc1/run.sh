@@ -27,23 +27,16 @@ train_cmd="python3 $repo_root/utils/run_jobs.py"
 
 if [ "$stage" -le -1 ] && [ "$stop_stage" -ge -1 ]; then
   echo "=== stage -1: download"
-  echo "download CMU ARCTIC (clb, slt) into $db_root/ manually or via:"
-  echo "  http://festvox.org/cmu_arctic/packed/cmu_us_{clb,slt}_arctic.tar.bz2"
-  exit 1
+  for spk in $srcspk $trgspk; do
+    local/data_download.sh "$db_root" "$spk"
+  done
 fi
 
 if [ "$stage" -le 0 ] && [ "$stop_stage" -ge 0 ]; then
   echo "=== stage 0: data preparation"
   for spk in $srcspk $trgspk; do
-    wavdir=$db_root/cmu_us_${spk}_arctic/wav
-    [ -d "$wavdir" ] || { echo "missing $wavdir"; exit 1; }
-    mkdir -p data/$spk
-    find "$wavdir" -name "*.wav" | sort | awk -F/ '{n=$NF; sub(/\.wav$/,"",n); print n, $0}' > data/$spk/wav.scp
-    total=$(wc -l < data/$spk/wav.scp)
-    head -n "$num_train" data/$spk/wav.scp > data/$spk/train_wav.scp
-    tail -n +"$((num_train + 1))" data/$spk/wav.scp | head -n "$num_dev" > data/$spk/dev_wav.scp
-    tail -n +"$((num_train + num_dev + 1))" data/$spk/wav.scp > data/$spk/eval_wav.scp
-    echo "$spk: $total utts -> $num_train train / $num_dev dev / rest eval"
+    local/data_prep.sh --num_train "$num_train" --num_dev "$num_dev" \
+      --num_eval 100 "$db_root/cmu_us_${spk}_arctic" "$spk" data
   done
 fi
 
@@ -52,11 +45,14 @@ if [ "$stage" -le 1 ] && [ "$stop_stage" -ge 1 ]; then
   for spk in $srcspk $trgspk; do
     for set in train dev eval; do
       scp=data/$spk/${set}_wav.scp
+      seg_opt=()
+      # pau-trimmed kaldi segments from the ARCTIC lab files, if prepared
+      [ -e "data/$spk/${set}_segments" ] && seg_opt=(--segments "data/$spk/${set}_segments")
       python3 "$repo_root/utils/split_scp.py" --n "$n_jobs" --prefix "$dumpdir/$spk/$set/split/wav" "$scp"
       $train_cmd JOB=1:$n_jobs "$dumpdir/$spk/$set/log/preprocess.JOB.log" \
         python3 -m seq2seq_vc_tpu.bin.preprocess \
           --wav-scp "$dumpdir/$spk/$set/split/wav.JOB.scp" \
-          --dumpdir "$dumpdir/$spk/$set/raw" --config "$conf"
+          --dumpdir "$dumpdir/$spk/$set/raw" --config "$conf" "${seg_opt[@]}"
     done
   done
 fi
@@ -107,7 +103,7 @@ if [ "$stage" -le 5 ] && [ "$stop_stage" -ge 5 ]; then
     python3 -m seq2seq_vc_tpu.bin.evaluate \
       --wavdir "$expdir/${srcspk}_${trgspk}_${tag}/results/$set/wav" \
       --gt-wavdir "$db_root/cmu_us_${trgspk}_arctic/wav" \
-      --f0min 120 --f0max 260 --n-jobs "$n_jobs"
+      --f0-yaml conf/f0.yaml --spk "$trgspk" --n-jobs "$n_jobs"
   done
 fi
 

@@ -53,8 +53,42 @@ if [ "$stage" -le 5 ] && [ "$stop_stage" -ge 5 ]; then
     python3 -m seq2seq_vc_tpu.bin.evaluate \
       --wavdir "$expdir/${srcspk}_${trgspk}_${tag}/results/$set/wav" \
       --gt-wavdir "$db_root/cmu_us_${trgspk}_arctic/wav" \
-      --f0min 120 --f0max 260 --n-jobs "$n_jobs"
+      --f0-yaml conf/f0.yaml --spk "$trgspk" --n-jobs "$n_jobs"
   done
+fi
+
+# ------------------------- FS2-VC path (conf/fs2_vc.melmelmel.v1.yaml) ----
+# requires a trained AR teacher (e.g. ../vc1 VTN exp) whose teacher-forcing
+# decode exports per-utterance durations, matching the reference's FS2-VC
+# workflow (train_duration_dir / dev_duration_dir).
+teacher_expdir=${teacher_expdir:-../vc1/exp/${srcspk}_${trgspk}_vtn.v1}
+
+if [ "$stage" -le 6 ] && [ "$stop_stage" -ge 6 ]; then
+  echo "=== stage 6: teacher-forcing decode -> durations (teacher: $teacher_expdir)"
+  ckpt=$(ls -t "$teacher_expdir"/checkpoint-*steps.ckpt | head -1)
+  for set in train dev; do
+    python3 -m seq2seq_vc_tpu.bin.vc_decode \
+      --dumpdir "$dumpdir/$srcspk/$set/norm" \
+      --trg-dumpdir "$dumpdir/$trgspk/$set/norm" \
+      --use-teacher-forcing \
+      --checkpoint "$ckpt" \
+      --outdir "$expdir/${srcspk}_${trgspk}_teacher/results_tf/$set" \
+      --trg-stats "$dumpdir/$trgspk/stats/stats.h5"
+  done
+fi
+
+if [ "$stage" -le 7 ] && [ "$stop_stage" -ge 7 ]; then
+  echo "=== stage 7: FastSpeech-VC training on teacher durations"
+  python3 -m seq2seq_vc_tpu.bin.vc_train \
+    --src-train-dumpdir "$dumpdir/$srcspk/train/norm" \
+    --src-dev-dumpdir "$dumpdir/$srcspk/dev/norm" \
+    --trg-train-dumpdir "$dumpdir/$trgspk/train/norm" \
+    --trg-dev-dumpdir "$dumpdir/$trgspk/dev/norm" \
+    --train-duration-dir "$expdir/${srcspk}_${trgspk}_teacher/results_tf/train/durations" \
+    --dev-duration-dir "$expdir/${srcspk}_${trgspk}_teacher/results_tf/dev/durations" \
+    --trg-stats "$dumpdir/$trgspk/stats/stats.h5" \
+    --outdir "$expdir/${srcspk}_${trgspk}_fs2_vc.melmelmel.v1" \
+    --config conf/fs2_vc.melmelmel.v1.yaml
 fi
 
 echo "=== arctic vc2 recipe done"

@@ -76,7 +76,7 @@ if [ "$stage" -le 6 ] && [ "$stop_stage" -ge 6 ]; then
   python3 -m seq2seq_vc_tpu.bin.evaluate \
     --wavdir "$workdir/converted_${srcspk}_${trgspk}" \
     --gt-wavdir "$workdir/$trgspk/wav16k" \
-    --f0min 120 --f0max 260
+    --f0-yaml conf/f0.yaml --spk "$trgspk"
 fi
 
 echo "=== urhythmic recipe done"

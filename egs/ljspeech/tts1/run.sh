@@ -23,14 +23,15 @@ cd "$(dirname "$0")"
 export PYTHONPATH="$repo_root:${PYTHONPATH:-}"
 train_cmd="python3 $repo_root/utils/run_jobs.py"
 
+if [ "$stage" -le -1 ] && [ "$stop_stage" -ge -1 ]; then
+  echo "=== stage -1: download"
+  local/data_download.sh "$(dirname "$db_root")"
+fi
+
 if [ "$stage" -le 0 ] && [ "$stop_stage" -ge 0 ]; then
-  echo "=== stage 0: data prep (expects $db_root with metadata.csv + wavs/)"
-  [ -f "$db_root/metadata.csv" ] || { echo "download LJSpeech-1.1 first"; exit 1; }
-  mkdir -p data
-  awk -F'|' -v db="$db_root" '{print $1, db"/wavs/"$1".wav"}' "$db_root/metadata.csv" > data/wav.scp
-  awk -F'|' '{print $1, $3}' "$db_root/metadata.csv" > data/text
-  head -n -"$num_dev" data/wav.scp > data/train_wav.scp
-  tail -n "$num_dev" data/wav.scp > data/dev_wav.scp
+  echo "=== stage 0: data prep"
+  [ -f "$db_root/metadata.csv" ] || { echo "download LJSpeech-1.1 first (stage -1)"; exit 1; }
+  local/data_prep.sh --num_dev "$num_dev" --num_eval 250 "$db_root" data
 fi
 
 if [ "$stage" -le 1 ] && [ "$stop_stage" -ge 1 ]; then

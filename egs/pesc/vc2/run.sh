@@ -1,23 +1,25 @@
 #!/usr/bin/env bash
-# Hi-Fi-CAPTAIN (48 kHz, Japanese) AAS-VC recipe (mirrors the reference
-# egs/hificaptain_jp/vc2). Same stage structure as egs/arctic/vc2 with
-# 48 kHz feature settings and batch 2 x grad-accum 8 (reference OOM
-# guidance). Point db_root at the Hi-Fi-CAPTAIN download.
+# PESC electrolaryngeal-to-normal speech conversion with AAS-VC at 24 kHz
+# (staged like the reference egs/pesc/vc2/run.sh). The PESC corpus layout is
+# ${db_root}/data/EL/<srcspk> and ${db_root}/data/SP/<trgspk>.
 set -euo pipefail
 
 stage=0
 stop_stage=100
 n_jobs=8
 conf=conf/aas_vc.melmelmel.v1.yaml
-srcspk=male
-trgspk=female
-db_root=downloads/hi-fi-captain
+srcspk=EL_PS_FEMALE001
+trgspk=SP_PS_FEMALE001
+db_root=downloads
 dumpdir=dump
 expdir=exp
 tag=aas_vc.melmelmel.v1
+num_dev=50
+num_eval=150
 
 repo_root=$(cd "$(dirname "$0")/../../.." && pwd)
 . "$repo_root/utils/parse_options.sh"
+
 cd "$(dirname "$0")"
 export PYTHONPATH="$repo_root:${PYTHONPATH:-}"
 train_cmd="python3 $repo_root/utils/run_jobs.py"
@@ -25,40 +27,53 @@ train_cmd="python3 $repo_root/utils/run_jobs.py"
 if [ "$stage" -le -1 ] && [ "$stop_stage" -ge -1 ]; then
   echo "=== stage -1: download"
   local/data_download.sh "$db_root"
-fi
-
-if [ "$stage" -le 0 ] && [ "$stop_stage" -ge 0 ]; then
-  echo "=== stage 0: data prep"
-  declare -A sexdir=( [male]=ja-JP_M [female]=ja-JP_F )
-  for spk in $srcspk $trgspk; do
-    root="$db_root/${sexdir[$spk]:-$spk}"
-    [ -d "$root" ] || root="$db_root/$spk"  # allow pre-arranged layouts
-    local/data_prep.sh "$root" "$spk" data
+  # ParallelWaveGAN vocoder trained on PESC (torch ckpt; converted on load)
+  mkdir -p downloads/pwg
+  for f in checkpoint-400000steps.pkl config.yml stats.h5; do
+    python3 "$repo_root/utils/hf_download.py" \
+      --repo_id "unilight/pesc-pwg" --outdir downloads/pwg --filename "$f"
   done
 fi
 
+if [ "$stage" -le 0 ] && [ "$stop_stage" -ge 0 ]; then
+  echo "=== stage 0: data preparation"
+  local/data_prep.sh --num_dev "$num_dev" --num_eval "$num_eval" \
+    "$db_root/data/EL/$srcspk" "$srcspk" data
+  local/data_prep.sh --num_dev "$num_dev" --num_eval "$num_eval" \
+    "$db_root/data/SP/$trgspk" "$trgspk" data
+fi
+
 if [ "$stage" -le 1 ] && [ "$stop_stage" -ge 1 ]; then
-  echo "=== stage 1: feature extraction"
+  echo "=== stage 1: feature extraction (sharded over $n_jobs jobs)"
   for spk in $srcspk $trgspk; do
     for set in train dev eval; do
-      python3 "$repo_root/utils/split_scp.py" --n "$n_jobs" --prefix "$dumpdir/$spk/$set/split/wav" data/$spk/${set}_wav.scp
+      scp=data/$spk/${set}_wav.scp
+      python3 "$repo_root/utils/split_scp.py" --n "$n_jobs" --prefix "$dumpdir/$spk/$set/split/wav" "$scp"
       $train_cmd JOB=1:$n_jobs "$dumpdir/$spk/$set/log/preprocess.JOB.log" \
         python3 -m seq2seq_vc_tpu.bin.preprocess \
           --wav-scp "$dumpdir/$spk/$set/split/wav.JOB.scp" \
           --dumpdir "$dumpdir/$spk/$set/raw" --config "$conf"
     done
+  done
+fi
+
+if [ "$stage" -le 2 ] && [ "$stop_stage" -ge 2 ]; then
+  echo "=== stage 2: statistics + normalization"
+  for spk in $srcspk $trgspk; do
     python3 -m seq2seq_vc_tpu.bin.compute_statistics \
-      --rootdir "$dumpdir/$spk/train/raw" --config "$conf" --dumpdir "$dumpdir/$spk/stats"
+      --rootdir "$dumpdir/$spk/train/raw" --config "$conf" \
+      --dumpdir "$dumpdir/$spk/stats" --feat_type mel
     for set in train dev eval; do
       python3 -m seq2seq_vc_tpu.bin.normalize \
-        --rootdir "$dumpdir/$spk/$set/raw" --dumpdir "$dumpdir/$spk/$set/norm" \
-        --stats "$dumpdir/$spk/stats/stats.h5"
+        --rootdir "$dumpdir/$spk/$set/raw" \
+        --dumpdir "$dumpdir/$spk/$set/norm" \
+        --stats "$dumpdir/$spk/stats/stats.h5" --feat_type mel
     done
   done
 fi
 
 if [ "$stage" -le 3 ] && [ "$stop_stage" -ge 3 ]; then
-  echo "=== stage 3: training"
+  echo "=== stage 3: AAS-VC training"
   python3 -m seq2seq_vc_tpu.bin.vc_train \
     --src-train-dumpdir "$dumpdir/$srcspk/train/norm" \
     --src-dev-dumpdir "$dumpdir/$srcspk/dev/norm" \
@@ -85,14 +100,13 @@ fi
 
 if [ "$stage" -le 5 ] && [ "$stop_stage" -ge 5 ]; then
   echo "=== stage 5: objective evaluation"
-  declare -A sexdir=( [male]=ja-JP_M [female]=ja-JP_F )
   for set in dev eval; do
     python3 -m seq2seq_vc_tpu.bin.evaluate \
       --wavdir "$expdir/${srcspk}_${trgspk}_${tag}/results/$set/wav" \
-      --gt-wavdir "$db_root/${sexdir[$trgspk]:-$trgspk}/wav/$set" \
+      --gt-wavdir "$db_root/data/SP/$trgspk" \
       --f0-yaml conf/f0.yaml --spk "$trgspk" \
-      --fs 48000 --n-jobs "$n_jobs"
+      --fs 24000 --n-jobs "$n_jobs"
   done
 fi
 
-echo "=== hificaptain_jp vc2 recipe done"
+echo "=== pesc vc2 recipe done"

@@ -38,6 +38,12 @@ def main():
     parser.add_argument("--gt-wavdir", required=True, help="ground truth wav dir")
     parser.add_argument("--f0min", type=float, default=100)
     parser.add_argument("--f0max", type=float, default=400)
+    parser.add_argument("--f0-yaml", default=None,
+                        help="per-speaker F0 range yaml (conf/f0.yaml); "
+                             "overrides --f0min/--f0max")
+    parser.add_argument("--spk", default=None,
+                        help="speaker key into --f0-yaml (omit for a flat "
+                             "single-speaker f0.yaml)")
     parser.add_argument("--fs", type=int, default=16000)
     parser.add_argument("--n-jobs", type=int, default=8)
     parser.add_argument("--transcription", default=None, help="2-col utt text file")
@@ -46,6 +52,17 @@ def main():
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO)
+    if args.f0_yaml:
+        import yaml
+
+        with open(args.f0_yaml) as f:
+            ranges = yaml.safe_load(f)
+        if args.spk is not None:
+            ranges = ranges[args.spk]
+        args.f0min = float(ranges["f0min"])
+        args.f0max = float(ranges["f0max"])
+        logging.info("F0 search range from %s: [%g, %g] Hz",
+                     args.f0_yaml, args.f0min, args.f0max)
     cvt_wavs = sorted(find_files(args.wavdir, "*.wav"))
     gt_map = {get_basename(p): p for p in find_files(args.gt_wavdir, "*.wav")}
     pairs = [
