@@ -59,12 +59,21 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
     """Place a host batch onto the mesh, batch-dim sharded over ``data``.
 
-    Replaces the reference's DistributedSampler + per-rank DataLoader: one
-    host-side batch is laid out across all local devices in one call.
+    Single host: one device_put lays the batch across all local devices.
+    Multi host (``jax.process_count() > 1``): each process holds only its
+    rows of the global batch (the DataLoader's per-process slice, padded to
+    the shared global bucket) and
+    ``jax.make_array_from_process_local_data`` assembles the global array —
+    together these replace the reference's DistributedSampler + per-rank
+    DataLoader (``bin/vc_train.py:310-325``).
     """
     sharding = data_sharding(mesh)
+    multihost = jax.process_count() > 1
 
     def _put(x):
+        x = np.asarray(x)
+        if multihost:
+            return jax.make_array_from_process_local_data(sharding, x)
         return jax.device_put(x, sharding)
 
     return jax.tree_util.tree_map(_put, batch)

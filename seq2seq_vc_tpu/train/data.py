@@ -22,32 +22,57 @@ from typing import Any, Callable, Dict, List, Optional, Sequence
 
 import numpy as np
 
-from ..utils.io import HDF5ScpLoader, NpyScpLoader, find_files, get_basename, read_hdf5
+from ..utils.io import (
+    HDF5ScpLoader,
+    KaldiArkScpLoader,
+    NpyScpLoader,
+    find_files,
+    get_basename,
+    read_hdf5,
+)
+
+
+class _DirLoader:
+    """{utt_id: array} over a dump directory of per-utt HDF5 files."""
+
+    def __init__(self, mapping, key):
+        self.mapping = mapping
+        self.key = key
+
+    def keys(self):
+        return self.mapping.keys()
+
+    def __getitem__(self, utt):
+        return read_hdf5(self.mapping[utt], self.key)
+
+    def length(self, utt):
+        import h5py
+
+        with h5py.File(self.mapping[utt], "r") as f:
+            return int(f[self.key].shape[0])
 
 
 def _make_loader(path: str, feat_key: str = "feats"):
-    """Return {utt_id: load()} style dict-like for an scp file or dump dir."""
+    """Return {utt_id: load()} style dict-like for an scp file or dump dir.
+
+    Scp sniffing matches the reference (``datasets/dataset.py:21-45``):
+    ``.npy`` -> numpy, ``.ark:<offset>`` -> kaldi binary ark (native reader,
+    no kaldiio), anything else -> HDF5.
+    """
     if os.path.isdir(path):
         files = sorted(find_files(path, "*.h5"))
         mapping = {get_basename(f): f for f in files}
-
-        class _DirLoader:
-            def __init__(self, mapping, key):
-                self.mapping = mapping
-                self.key = key
-
-            def keys(self):
-                return self.mapping.keys()
-
-            def __getitem__(self, utt):
-                return read_hdf5(self.mapping[utt], self.key)
-
         return _DirLoader(mapping, feat_key)
     if path.endswith(".scp") or os.path.isfile(path):
         with open(path) as f:
             first = f.readline().strip().split()
-        if len(first) > 1 and first[1].endswith(".npy"):
-            return NpyScpLoader(path)
+        if len(first) > 1:
+            value = first[1]
+            if value.endswith(".npy"):
+                return NpyScpLoader(path)
+            base = value.rsplit(":", 1)[0] if ":" in value else value
+            if base.endswith(".ark"):
+                return KaldiArkScpLoader(path)
         return HDF5ScpLoader(path, feat_key)
     raise FileNotFoundError(path)
 
@@ -86,6 +111,14 @@ class ParallelVCMelDataset:
         self.utt_ids = common
         self._cache: Dict[int, Any] = {} if allow_cache else None
 
+    def length(self, idx: int, key: str = "trg_feat") -> int:
+        """Sequence length from storage metadata only (no feature load)."""
+        utt = self.utt_ids[idx]
+        loader = self.trg if key == "trg_feat" else self.src
+        if hasattr(loader, "length"):
+            return loader.length(utt)
+        return int(np.asarray(loader[utt]).shape[0])
+
     def __len__(self):
         return len(self.utt_ids)
 
@@ -123,6 +156,12 @@ class SourceVCMelDataset:
         self.dp = _make_loader(dp_feats, feat_key) if dp_feats else None
         self.utt_ids = sorted(self.src.keys())
 
+    def length(self, idx: int, key: str = "src_feat") -> int:
+        utt = self.utt_ids[idx]
+        if hasattr(self.src, "length"):
+            return self.src.length(utt)
+        return int(np.asarray(self.src[utt]).shape[0])
+
     def __len__(self):
         return len(self.utt_ids)
 
@@ -138,9 +177,19 @@ def _round_up(n: int, multiple: int) -> int:
     return ((n + multiple - 1) // multiple) * multiple
 
 
-def pad_batch(arrays: Sequence[np.ndarray], multiple: int) -> np.ndarray:
-    """Stack variable-length (T, ...) arrays, padding T to a bucket multiple."""
-    maxlen = _round_up(max(a.shape[0] for a in arrays), multiple)
+def pad_batch(
+    arrays: Sequence[np.ndarray], multiple: int, min_len: Optional[int] = None
+) -> np.ndarray:
+    """Stack variable-length (T, ...) arrays, padding T to a bucket multiple.
+
+    ``min_len`` forces at least that many frames before bucketing — used in
+    multi-host training so every process pads its local batch rows to the
+    same global bucket.
+    """
+    maxlen = max(a.shape[0] for a in arrays)
+    if min_len is not None:
+        maxlen = max(maxlen, min_len)
+    maxlen = _round_up(maxlen, multiple)
     out = np.zeros((len(arrays), maxlen) + arrays[0].shape[1:], arrays[0].dtype)
     for i, a in enumerate(arrays):
         out[i, : a.shape[0]] = a
@@ -155,13 +204,18 @@ class ARVCCollater:
         self.src_multiple = pad_multiple
         self.trg_multiple = int(np.lcm(pad_multiple, reduction_factor))
 
-    def __call__(self, batch: List[Dict[str, Any]]) -> Dict[str, Any]:
+    def __call__(
+        self,
+        batch: List[Dict[str, Any]],
+        pad_to: Optional[Dict[str, int]] = None,
+    ) -> Dict[str, Any]:
+        pad_to = pad_to or {}
         xs = [b["src_feat"] for b in batch]
         ys = [b["trg_feat"] for b in batch]
         ilens = np.array([x.shape[0] for x in xs], np.int32)
         olens = np.array([y.shape[0] for y in ys], np.int32)
-        xs = pad_batch(xs, self.src_multiple)
-        ys = pad_batch(ys, self.trg_multiple)
+        xs = pad_batch(xs, self.src_multiple, pad_to.get("src"))
+        ys = pad_batch(ys, self.trg_multiple, pad_to.get("trg"))
         labels = np.zeros(ys.shape[:2], np.float32)
         for i, l in enumerate(olens):
             labels[i, l - 1 :] = 1.0
@@ -194,25 +248,30 @@ class NARVCCollater:
         )
         self.trg_multiple = int(np.lcm(pad_multiple, max(decoder_reduction_factor, 1)))
 
-    def __call__(self, batch: List[Dict[str, Any]]) -> Dict[str, Any]:
+    def __call__(
+        self,
+        batch: List[Dict[str, Any]],
+        pad_to: Optional[Dict[str, int]] = None,
+    ) -> Dict[str, Any]:
+        pad_to = pad_to or {}
         xs = [b["src_feat"] for b in batch]
         ys = [b["trg_feat"] for b in batch]
         ilens = np.array([x.shape[0] for x in xs], np.int32)
         olens = np.array([y.shape[0] for y in ys], np.int32)
         items: Dict[str, Any] = {
-            "xs": pad_batch(xs, self.src_multiple),
+            "xs": pad_batch(xs, self.src_multiple, pad_to.get("src")),
             "ilens": ilens,
-            "ys": pad_batch(ys, self.trg_multiple),
+            "ys": pad_batch(ys, self.trg_multiple, pad_to.get("trg")),
             "olens": olens,
             "utt_ids": [b["utt_id"] for b in batch],
         }
         if "dp_input" in batch[0]:
             dps = [b["dp_input"] for b in batch]
-            items["dp_inputs"] = pad_batch(dps, self.src_multiple)
+            items["dp_inputs"] = pad_batch(dps, self.src_multiple, pad_to.get("src"))
             items["dplens"] = np.array([d.shape[0] for d in dps], np.int32)
         if "duration" in batch[0]:
             ds = [b["duration"] for b in batch]
-            items["durations"] = pad_batch(ds, self.src_multiple)
+            items["durations"] = pad_batch(ds, self.src_multiple, pad_to.get("src"))
             items["duration_lens"] = np.array([d.shape[0] for d in ds], np.int32)
         return items
 
@@ -237,6 +296,8 @@ class DataLoader:
         drop_last: bool = False,
         sort_key: str = "trg_feat",
         prefetch: int = 2,
+        process_index: Optional[int] = None,
+        process_count: Optional[int] = None,
     ):
         self.dataset = dataset
         self.collater = collater
@@ -248,14 +309,40 @@ class DataLoader:
         self._rng = np.random.default_rng(seed)
         self._order = None  # computed lazily on first epoch (one metadata pass)
         self._sort_key = sort_key
+        # multi-host: each process loads only its rows of every global batch
+        # (DistributedSampler equivalent; reference bin/vc_train.py:310-325).
+        # Defaults resolve from the jax runtime at iteration time so the
+        # single-host path never touches jax.
+        self._pidx = process_index
+        self._pcount = process_count
+
+    def _process_slice(self):
+        if self._pcount is not None:
+            return self._pidx or 0, self._pcount
+        try:
+            import jax
+
+            return jax.process_index(), jax.process_count()
+        except Exception:
+            return 0, 1
 
     def _build_batches(self) -> List[List[int]]:
         if self._order is None:
             lens = []
-            for i in range(len(self.dataset)):
-                item = self.dataset[i]
-                key = self._sort_key if self._sort_key in item else "src_feat"
-                lens.append(item[key].shape[0])
+            if hasattr(self.dataset, "length"):
+                # storage-metadata lengths: no full-corpus feature read on
+                # the first epoch
+                for i in range(len(self.dataset)):
+                    try:
+                        lens.append(self.dataset.length(i, self._sort_key))
+                    except (KeyError, TypeError):
+                        lens = []
+                        break
+            if not lens:
+                for i in range(len(self.dataset)):
+                    item = self.dataset[i]
+                    key = self._sort_key if self._sort_key in item else "src_feat"
+                    lens.append(item[key].shape[0])
             self._order = np.argsort(np.asarray(lens), kind="stable")
         order = self._order
         batches = [
@@ -272,15 +359,47 @@ class DataLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
+    def _collate(self, idxs_full, idxs_local):
+        items = [self.dataset[int(i)] for i in idxs_local]
+        if idxs_full is idxs_local:
+            return self.collater(items)
+        # multi-host: all processes must pad their local rows to the same
+        # global bucket so shard_batch can assemble one global array
+        pad = {}
+        if hasattr(self.dataset, "length"):
+            try:
+                pad["src"] = max(
+                    self.dataset.length(int(i), "src_feat") for i in idxs_full
+                )
+                pad["trg"] = max(
+                    self.dataset.length(int(i), "trg_feat") for i in idxs_full
+                )
+            except Exception:
+                pad = {}
+        try:
+            return self.collater(items, pad_to=pad or None)
+        except TypeError:  # collater without pad_to support
+            return self.collater(items)
+
     def __iter__(self):
         batches = self._build_batches()
         if self.shuffle:
             perm = self._rng.permutation(len(batches))
             batches = [batches[int(i)] for i in perm]
         self.epoch += 1
+        pidx, pcount = self._process_slice()
+        if pcount > 1:
+            # every process sees the same deterministic batch list (same
+            # dataset + seed) and takes a strided slice of each batch's
+            # rows; shard_batch later assembles the global array from the
+            # per-process shards (DistributedSampler equivalent)
+            work = [(b, b[pidx::pcount]) for b in batches]
+            work = [(f, l) for f, l in work if l]
+        else:
+            work = [(b, b) for b in batches]
         if self.prefetch <= 0:
-            for idxs in batches:
-                yield self.collater([self.dataset[int(i)] for i in idxs])
+            for full, local in work:
+                yield self._collate(full, local)
             return
 
         import queue
@@ -291,8 +410,8 @@ class DataLoader:
 
         def produce():
             try:
-                for idxs in batches:
-                    q.put(self.collater([self.dataset[int(i)] for i in idxs]))
+                for full, local in work:
+                    q.put(self._collate(full, local))
             finally:
                 q.put(sentinel)
 

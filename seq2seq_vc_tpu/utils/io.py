@@ -116,9 +116,96 @@ class HDF5ScpLoader(_ScpLoader):
     def __getitem__(self, key: str) -> np.ndarray:
         return load_scp_entry(self.data[key], self.default_hdf5_path)
 
+    def length(self, key: str) -> int:
+        """Row count from HDF5 metadata only (no data read)."""
+        value = self.data[key]
+        if ":" in value and not value.endswith(".npy"):
+            path, dsets = value.split(":", 1)
+            dset = dsets.split(",")[0]
+        else:
+            path, dset = value, self.default_hdf5_path
+        with h5py.File(path, "r") as f:
+            return int(f[dset].shape[0])
+
 
 class NpyScpLoader(_ScpLoader):
     """Lazy loader for an scp of .npy paths."""
 
     def __getitem__(self, key: str) -> np.ndarray:
         return np.load(self.data[key])
+
+    def length(self, key: str) -> int:
+        """Row count without loading the data (mmap header read)."""
+        return int(np.load(self.data[key], mmap_mode="r").shape[0])
+
+
+def _read_kaldi_matrix(f) -> np.ndarray:
+    """Read one kaldi binary matrix at the current file offset.
+
+    Layout (what kaldiio/kaldi write for an scp-addressed entry): a "\\0B"
+    binary marker, a "FM "/"DM " type token, then per dimension a size byte
+    (4) + little-endian int32, then row-major payload. Compressed matrices
+    (CM*) are not supported — re-dump uncompressed.
+    """
+    marker = f.read(2)
+    if marker != b"\x00B":
+        raise ValueError(f"not a kaldi binary entry (marker {marker!r})")
+    token = b""
+    while not token.endswith(b" "):
+        c = f.read(1)
+        if not c:
+            raise EOFError("truncated kaldi matrix header")
+        token += c
+    kind = token.strip().decode()
+    if kind not in ("FM", "DM"):
+        raise NotImplementedError(
+            f"kaldi matrix type {kind!r} unsupported (only FM/DM; "
+            "compressed CM matrices must be re-dumped uncompressed)"
+        )
+    dims = []
+    for _ in range(2):
+        size = f.read(1)
+        if size != b"\x04":
+            raise ValueError("unexpected kaldi int size byte")
+        dims.append(int.from_bytes(f.read(4), "little", signed=True))
+    rows, cols = dims
+    dtype = np.float32 if kind == "FM" else np.float64
+    data = np.frombuffer(f.read(rows * cols * dtype().itemsize), dtype=dtype)
+    return data.reshape(rows, cols)
+
+
+def write_kaldi_ark(ark_path: str, arrays: Dict[str, np.ndarray]) -> Dict[str, str]:
+    """Write a binary kaldi ark of float32 matrices.
+
+    Returns {utt_id: "path:offset"} scp values addressing each entry (the
+    reference consumes these via kaldiio; here they feed KaldiArkScpLoader).
+    """
+    scp: Dict[str, str] = {}
+    dirname = os.path.dirname(ark_path)
+    if dirname:
+        os.makedirs(dirname, exist_ok=True)
+    with open(ark_path, "wb") as f:
+        for utt, arr in arrays.items():
+            arr = np.ascontiguousarray(arr, np.float32)
+            f.write(utt.encode() + b" ")
+            offset = f.tell()
+            f.write(b"\x00BFM ")
+            for d in arr.shape:
+                f.write(b"\x04" + int(d).to_bytes(4, "little", signed=True))
+            f.write(arr.tobytes())
+            scp[utt] = f"{ark_path}:{offset}"
+    return scp
+
+
+class KaldiArkScpLoader(_ScpLoader):
+    """Lazy loader for an scp of kaldi ark entries (``path.ark:offset``).
+
+    Native replacement for the reference's kaldiio scp sniffing
+    (``datasets/dataset.py:21-45``); no kaldiio dependency.
+    """
+
+    def __getitem__(self, key: str) -> np.ndarray:
+        path, offset = self.data[key].rsplit(":", 1)
+        with open(path, "rb") as f:
+            f.seek(int(offset))
+            return _read_kaldi_matrix(f)
