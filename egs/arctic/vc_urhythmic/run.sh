@@ -2,7 +2,9 @@
 # Urhythmic rhythm-conversion recipe on CMU ARCTIC (mirrors the reference
 # egs/arctic/vc_urhythmic/run.sh): HuBERT-soft encode -> segment -> rhythm
 # model -> vocoder fine-tune -> convert. Stage 1 needs a local HuBERT-soft
-# checkpoint (torch.hub download requires network; see --hubert_checkpoint).
+# checkpoint: pass any torch HuBERT-soft/HF-HuBERT .pt via
+# --hubert_checkpoint — it is converted into the NATIVE flax encoder
+# (seq2seq_vc_tpu/urhythmic/hubert.py); 'hub' falls back to torch.hub.
 set -euo pipefail
 
 stage=0

@@ -26,11 +26,18 @@ from .stretcher import TimeStretcherFineGrained
 
 
 def _load_hubert(checkpoint: str):
-    import torch
+    """Torch-hub model ('hub'), raw torch module, or — the native path —
+    any torch HuBERT-soft/HF-HuBERT checkpoint converted into the in-repo
+    flax implementation (urhythmic/hubert.py)."""
+    if checkpoint == "hub":
+        import torch
 
-    model = torch.hub.load("bshall/hubert:main", "hubert_soft", trust_repo=True) \
-        if checkpoint == "hub" else torch.load(checkpoint, map_location="cpu")
-    return model.eval()
+        return torch.hub.load(
+            "bshall/hubert:main", "hubert_soft", trust_repo=True
+        ).eval()
+    from .hubert import load_hubert_soft
+
+    return load_hubert_soft(checkpoint)
 
 
 def cmd_encode(args):

@@ -24,14 +24,23 @@ def encode(hubert: Any, wav: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """wav -> (soft units (N, D), log_probs (N, K)) via a HuBERT-soft model.
 
     Args:
-        hubert: an object with ``units(wav)`` and ``logits(units)``
-            (e.g. bshall/hubert torch-hub model). Raises if None.
+        hubert: either the native flax encoder as a ``(HubertSoft, params)``
+            tuple (``urhythmic.hubert.load_hubert_soft``), or a torch object
+            with ``units(wav)`` / ``logits(units)`` (e.g. bshall/hubert via
+            torch hub). Raises if None.
     """
     if hubert is None:
         raise RuntimeError(
-            "a HuBERT-soft encoder is required (the reference downloads "
-            "bshall/hubert via torch.hub; provide a local checkpoint)"
+            "a HuBERT-soft encoder is required: pass a checkpoint for the "
+            "native flax implementation (urhythmic/hubert.py) or a torch "
+            "module"
         )
+    if isinstance(hubert, tuple):  # native flax path
+        from .hubert import encode_batch
+
+        model, params = hubert
+        units, log_probs = encode_batch(model, params, np.asarray(wav))
+        return np.asarray(units[0]), np.asarray(log_probs[0])
     import torch
     import torch.nn.functional as F
 
