@@ -128,15 +128,60 @@ def main():
                 rngs={"dropout": key},
             )
     if is_ar:
-        @jax.jit
-        def run(p, xs, ilens, key):
-            return model.apply(
-                p, xs, ilens, key,
-                inf_cfg.get("threshold", 0.5),
-                inf_cfg.get("minlenratio", 0.0),
-                inf_cfg.get("maxlenratio", 6.0),
-                method=inference,
+        # host-chunked AR decode with early exit: the KV cache covers the
+        # full maxlenratio budget, but the device only runs chunks until
+        # every item in the batch has stopped — the single-scan inference()
+        # would burn the whole budget (mostly dead steps at maxlenratio 6+
+        # for short utterances). One compiled chunk fn serves all chunks.
+        thr = inf_cfg.get("threshold", 0.5)
+        minr = inf_cfg.get("minlenratio", 0.0)
+        maxr = inf_cfg.get("maxlenratio", 6.0)
+        chunk = int(inf_cfg.get("decode_chunk_steps", 32))
+        init_fn = jax.jit(
+            lambda p, xs, ilens, key: model.apply(
+                p, xs, ilens, key, maxr, method=model_class.decode_init
             )
+        )
+        chunk_fn = jax.jit(
+            lambda p, st, t0: model.apply(
+                p, st, t0, chunk, thr, minr, maxr,
+                method=model_class.decode_chunk,
+            )
+        )
+        lens_fn = jax.jit(
+            lambda p, st: model.apply(
+                p, st, maxr, method=model_class.decode_out_lens
+            )
+        )
+        post_cache = {}
+
+        def run(p, xs, ilens, key):
+            st = init_fn(p, xs, ilens, key)
+            maxlen = st["cache"]["k"].shape[3]
+            outs_c, probs_c, att_c = [], [], []
+            t0 = 0
+            while t0 < maxlen:
+                st, outs, probs, att = chunk_fn(p, st, t0)
+                outs_c.append(outs)
+                probs_c.append(probs)
+                att_c.append(att)
+                t0 += chunk
+                if bool(np.asarray(st["finished"]).all()):
+                    break
+            outs = jnp.concatenate(outs_c, axis=1)
+            L = outs.shape[1]
+            if L not in post_cache:
+                post_cache[L] = jax.jit(
+                    lambda p, o: model.apply(
+                        p, o, method=model_class.decode_postnet
+                    )
+                )
+            return {
+                "outs": post_cache[L](p, outs),
+                "probs": jnp.concatenate(probs_c, axis=1),
+                "att_ws": jnp.concatenate(att_c, axis=3),
+                "out_lens": lens_fn(p, st),
+            }
     else:
         from functools import partial
 

@@ -1,0 +1,93 @@
+"""Chunked AR decode (host early-exit) vs single-scan inference parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from seq2seq_vc_tpu.models import VTN
+
+
+def _model_and_params():
+    model = VTN(idim=80, odim=80, adim=32, aheads=2, elayers=1, eunits=64,
+                dlayers=2, dunits=64, postnet_layers=2, postnet_chans=16,
+                dprenet_units=16, decoder_reduction_factor=2)
+    rng = np.random.default_rng(0)
+    xs = rng.standard_normal((2, 64, 80)).astype(np.float32)
+    ilens = np.asarray([64, 48], np.int32)
+    ys = rng.standard_normal((2, 32, 80)).astype(np.float32)
+    labels = np.zeros((2, 32), np.float32)
+    olens = np.asarray([32, 24], np.int32)
+    keys = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    params = model.init(keys, jnp.asarray(xs), jnp.asarray(ilens),
+                        jnp.asarray(ys), jnp.asarray(labels),
+                        jnp.asarray(olens), deterministic=True)
+    return model, params, jnp.asarray(xs), jnp.asarray(ilens)
+
+
+def _chunked(model, params, xs, ilens, key, thr, minr, maxr, chunk):
+    st = model.apply(params, xs, ilens, key, maxr, method=VTN.decode_init)
+    maxlen = st["cache"]["k"].shape[3]
+    outs_c, probs_c = [], []
+    t0, n_chunks = 0, 0
+    while t0 < maxlen:
+        st, outs, probs, _ = model.apply(
+            params, st, t0, chunk, thr, minr, maxr, method=VTN.decode_chunk
+        )
+        outs_c.append(outs)
+        probs_c.append(probs)
+        t0 += chunk
+        n_chunks += 1
+        if bool(np.asarray(st["finished"]).all()):
+            break
+    outs = jnp.concatenate(outs_c, axis=1)
+    outs = model.apply(params, outs, method=VTN.decode_postnet)
+    out_lens = model.apply(params, st, maxr, method=VTN.decode_out_lens)
+    return (np.asarray(outs), np.concatenate([np.asarray(p) for p in probs_c], 1),
+            np.asarray(out_lens), n_chunks, maxlen)
+
+
+def test_chunked_decode_matches_inference_and_exits_early():
+    model, params, xs, ilens = _model_and_params()
+    key = jax.random.PRNGKey(7)
+    thr, minr, maxr = 0.3, 0.0, 6.0  # low threshold: random model stops early
+
+    ref = model.apply(params, xs, ilens, key, thr, minr, maxr,
+                      method=VTN.inference)
+    got_outs, got_probs, got_lens, n_chunks, maxlen = _chunked(
+        model, params, xs, ilens, key, thr, minr, maxr, chunk=8
+    )
+
+    np.testing.assert_array_equal(got_lens, np.asarray(ref["out_lens"]))
+    # prenet rng stream and decoder steps are identical -> probs match
+    # exactly on the computed prefix
+    L = got_probs.shape[1]
+    np.testing.assert_allclose(
+        got_probs, np.asarray(ref["probs"])[:, :L], atol=1e-6
+    )
+    # postnet sees fewer context frames near the cut; compare the interior
+    for b in range(xs.shape[0]):
+        n = int(got_lens[b])
+        if n > 16:
+            np.testing.assert_allclose(
+                got_outs[b, : n - 16],
+                np.asarray(ref["outs"])[b, : n - 16],
+                atol=1e-4,
+            )
+    # early exit actually happened (budget is maxlenratio 6 = way more
+    # chunks than needed)
+    assert n_chunks * 8 < maxlen, (n_chunks, maxlen)
+
+
+def test_chunked_decode_runs_to_budget_when_never_stopping():
+    model, params, xs, ilens = _model_and_params()
+    key = jax.random.PRNGKey(3)
+    got_outs, _, got_lens, n_chunks, maxlen = _chunked(
+        model, params, xs, ilens, key, 2.0, 0.0, 1.0, chunk=8
+    )
+    # threshold 2.0 never trips: every item runs to its maxlen_b — the
+    # same budget the single-scan inference computes (encoder-grid hlens)
+    ref = model.apply(params, xs, ilens, key, 2.0, 0.0, 1.0,
+                      method=VTN.inference)
+    np.testing.assert_array_equal(got_lens, np.asarray(ref["out_lens"]))
+    assert (got_lens > 0).all()
+    assert np.isfinite(got_outs).all()
