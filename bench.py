@@ -1,15 +1,27 @@
-"""Benchmark: flagship AAS-VC NAR conversion throughput on one chip.
+"""Benchmark: flagship throughput on one chip (NAR inference, train, AR decode).
 
-Prints ONE JSON line: mel-frames/sec/chip for the full-size AAS-VC
-(arctic vc2 config scale: adim 384, 4+4 conformer layers, post-encoder
-reduction 4, stochastic duration predictor) converting a batch of
-~8-second utterances, including on-device duration prediction, Gaussian
-upsampling, decoding, and postnet.
+Prints ONE JSON line. Primary metric (``value``): NAR conversion throughput
+in mel-frames/sec for the full-size AAS-VC (arctic vc2 config scale: adim
+384, 4+4 conformer layers, post-encoder reduction 4, stochastic duration
+predictor) converting a batch of ~8-second utterances, including on-device
+duration prediction, Gaussian upsampling, decoding, and postnet.
 
 ``vs_baseline``: the BASELINE.md north-star is wav->wav RTF <= 0.02/chip;
 at hop 256 / 16 kHz one second of speech is 62.5 mel frames, so RTF 0.02
 corresponds to 3125 mel-frames/sec. vs_baseline = value / 3125 (>1 beats
 the target).
+
+``extra`` carries the two other BASELINE.md throughput axes (VERDICT r1 #3):
+- train_mel_frames_per_sec / train_step_ms / train_tflops_per_sec: full
+  AAS-VC train step (loss + grad + adamw) at batch 16 x 512 frames,
+  compute_dtype=bfloat16 (fp32 params/stats — see seq2seq_vc_tpu/nn).
+- ar_decode_mel_frames_per_sec: VTN (arctic vc1 scale: adim 384, 6+6,
+  decoder_reduction_factor 4) incremental scan decode with fixed-size KV
+  caches, batch 4, 256 decode steps -> 1024 mel frames per item.
+
+All three timings are fetch-verified: iteration i+1 consumes iteration i's
+output and the timed region ends with a host np.asarray fetch of the final
+result (block_until_ready alone can return early on this runtime).
 """
 
 import json
@@ -18,10 +30,7 @@ import time
 import numpy as np
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
-
+def bench_nar_inference(jax, jnp):
     from seq2seq_vc_tpu.models import AASVC
 
     model = AASVC(
@@ -38,6 +47,7 @@ def main():
     slens = np.asarray([512, 448, 384, 320], np.int32)
     tgt = rng.standard_normal((B, T, 80)).astype(np.float32)
     tlens = np.asarray([512, 448, 384, 320], np.int32)
+
     def _init(s, sl, t, tl, seed):
         keys = {
             "params": jax.random.PRNGKey(seed),
@@ -49,8 +59,7 @@ def main():
     params = jax.jit(_init)(src, slens, tgt, tlens, 0)
 
     # chained protocol: iteration i+1's input depends on iteration i's full
-    # output, so executions cannot overlap or be elided by the async runtime;
-    # host round trips stay out of the timed loop
+    # output, so executions cannot overlap or be elided by the async runtime
     def step(p, s, sl, k):
         out = model.apply(
             p, s, sl, max_output_frames=160,
@@ -68,24 +77,188 @@ def main():
     n_iter = 60
     keys = [jax.random.PRNGKey(10 + i) for i in range(n_iter)]
     _ = np.asarray(keys[-1])  # force key materialization
-    # fetch-verified timing: the final np.asarray host fetch cannot complete
-    # until every chained execution has actually run (block_until_ready alone
-    # can return early on asynchronous runtimes with deep dispatch queues)
     t0 = time.time()
     lens = None
     for i in range(n_iter):
         src_d, lens = run(params, src_d, slens_d, keys[i])
-    frames_per_call = int(np.asarray(lens).sum())
+    frames_per_call = int(np.asarray(lens).sum())  # terminal host fetch
     dt = (time.time() - t0) / n_iter
-    frames = frames_per_call
-    fps = frames / dt
+    return frames_per_call / dt
+
+
+def bench_train_step(jax, jnp):
+    import optax
+
+    from seq2seq_vc_tpu.losses import L1Loss
+    from seq2seq_vc_tpu.models import AASVC
+    from seq2seq_vc_tpu.ops.forward_sum import beta_binomial_prior, forward_sum_loss
+
+    model = AASVC(
+        idim=80, odim=80, adim=384, aheads=2, elayers=4, eunits=1536,
+        dlayers=4, dunits=1536, postnet_layers=5, postnet_chans=256,
+        post_encoder_reduction_factor=4, duration_predictor_type="stochastic",
+        conformer_enc_kernel_size=15, conformer_dec_kernel_size=15,
+        compute_dtype="bfloat16",
+    )
+    B, T = 16, 512
+    rng = np.random.default_rng(0)
+    xs = rng.standard_normal((B, T, 80)).astype(np.float32)
+    ys = rng.standard_normal((B, T, 80)).astype(np.float32)
+    lens = np.linspace(T // 2, T, B).astype(np.int32)
+
+    def _init(xs, ilens, ys, olens, seed):
+        keys = {
+            "params": jax.random.PRNGKey(seed),
+            "dropout": jax.random.PRNGKey(seed + 1),
+            "noise": jax.random.PRNGKey(seed + 2),
+        }
+        return model.init(keys, xs, ilens, ys, olens, deterministic=True)
+
+    params = jax.jit(_init)(xs, lens, ys, lens, 0)
+    l1_loss = L1Loss()
+    prior = beta_binomial_prior(lens // 4, lens, T // 4, T)
+    tx = optax.adamw(1e-4)
+    opt_state = jax.jit(tx.init)(params)
+
+    def step(params, opt_state, xs, ilens, ys, olens, prior, seed):
+        def loss_fn(params):
+            rngs = {
+                "dropout": jax.random.PRNGKey(seed),
+                "noise": jax.random.PRNGKey(seed + 1),
+            }
+            out = model.apply(
+                params, xs, ilens, ys, olens, deterministic=False, rngs=rngs
+            )
+            l1 = l1_loss(out["after_outs"], out["before_outs"], out["ys"], out["olens"])
+            fsum = forward_sum_loss(
+                out["log_p_attn"] + prior, out["ilens"], out["olens_reduced"]
+            )
+            return l1 + 2.0 * (fsum + out["bin_loss"]) + out["dur_nll"]
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    fn = jax.jit(step, donate_argnums=(0, 1))
+    lowered = jax.jit(step, donate_argnums=(0, 1)).lower(
+        params, opt_state, xs, lens, ys, lens, prior, 0
+    )
+    try:
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+    except Exception:
+        flops = 0.0
+
+    xs_d, ys_d, lens_d, prior_d = (
+        jax.device_put(xs), jax.device_put(ys), jax.device_put(lens),
+        jax.device_put(np.asarray(prior)),
+    )
+    params, opt_state, loss = fn(params, opt_state, xs_d, lens_d, ys_d, lens_d, prior_d, 0)
+    _ = float(np.asarray(loss))  # compile + settle
+
+    n_iter = 30
+    t0 = time.time()
+    for i in range(n_iter):
+        # params/opt_state chain through donation: steps cannot overlap
+        params, opt_state, loss = fn(
+            params, opt_state, xs_d, lens_d, ys_d, lens_d, prior_d, i + 1
+        )
+    final = float(np.asarray(loss))  # terminal host fetch
+    dt = (time.time() - t0) / n_iter
+    assert np.isfinite(final)
+    frames = int(lens.sum())
+    return {
+        "train_mel_frames_per_sec": round(frames / dt, 1),
+        "train_step_ms": round(dt * 1e3, 2),
+        "train_tflops_per_sec": round(flops / dt / 1e12, 2) if flops else None,
+    }
+
+
+def bench_ar_decode(jax, jnp):
+    from seq2seq_vc_tpu.models import VTN
+
+    model = VTN(
+        idim=80, odim=80, adim=384, aheads=4, elayers=6, eunits=1536,
+        dlayers=6, dunits=1536, postnet_layers=5, postnet_chans=256,
+        decoder_reduction_factor=4,
+    )
+    rng = np.random.default_rng(0)
+    B, T = 4, 256
+    src = rng.standard_normal((B, T, 80)).astype(np.float32)
+    slens = np.asarray([256, 224, 192, 160], np.int32)
+
+    labels = np.zeros((B, T), np.float32)
+
+    def _init(s, sl, lab, seed):
+        keys = {
+            "params": jax.random.PRNGKey(seed),
+            "dropout": jax.random.PRNGKey(seed + 1),
+        }
+        return model.init(keys, s, sl, s, lab, sl, deterministic=True)
+
+    params = jax.jit(_init)(src, slens, labels, 0)
+
+    chunk = 32
+
+    # closed-over python constants (the vc_decode pattern): maxlenratio 4.0
+    # -> 256-step KV budget; threshold 1.1 never stops early, so every chunk
+    # runs all steps (measures raw AR step throughput over the full budget)
+    init_jit = jax.jit(
+        lambda p, s, sl, seed: model.apply(
+            p, s, sl, jax.random.PRNGKey(seed), 4.0, method=VTN.decode_init
+        )
+    )
+    chunk_jit = jax.jit(
+        lambda p, st, t0: model.apply(
+            p, st, t0, chunk, 1.1, 0.0, 4.0, method=VTN.decode_chunk
+        )
+    )
+    st = init_jit(params, src, slens, 0)
+    maxlen = int(st["cache"]["k"].shape[3])
+    n_chunks = maxlen // chunk
+    st, outs, probs, att = chunk_jit(params, st, 0)
+    jax.block_until_ready(outs)  # compile both
+
+    n_iter = 6  # full decodes of n_chunks*chunk steps each
+    t0 = time.time()
+    total_steps = 0
+    out_sum = 0.0
+    for it in range(n_iter):
+        st = init_jit(params, src, slens, it)
+        for c in range(n_chunks):
+            st, outs, probs, att = chunk_jit(params, st, c * chunk)
+            total_steps += chunk
+        # fetch per decode keeps the timing honest (a real decode fetches
+        # its output too) and chains the loop for the async runtime
+        out_sum += float(np.asarray(outs).mean())
+    dt = time.time() - t0
+    assert np.isfinite(out_sum)
+    r = 4
+    frames = total_steps * r * B
+    return frames / dt
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    nar_fps = bench_nar_inference(jax, jnp)
+    train = bench_train_step(jax, jnp)
+    ar_fps = bench_ar_decode(jax, jnp)
+
+    extra = dict(train)
+    extra["ar_decode_mel_frames_per_sec"] = round(ar_fps, 1)
     print(
         json.dumps(
             {
                 "metric": "aasvc_nar_inference_mel_frames_per_sec_per_chip",
-                "value": round(fps, 1),
+                "value": round(nar_fps, 1),
                 "unit": "mel-frames/sec",
-                "vs_baseline": round(fps / 3125.0, 2),
+                "vs_baseline": round(nar_fps / 3125.0, 2),
+                "extra": extra,
             }
         )
     )

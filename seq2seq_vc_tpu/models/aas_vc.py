@@ -99,6 +99,15 @@ class AASVC(nn.Module):
     stochastic_duration_predictor_noise_scale: float = 0.8
     init_type: str = "xavier_uniform"
     attention_backend: str = "xla"  # 'flash': Pallas kernels (legacy + latest rel-pos)
+    # mixed precision: 'bfloat16' runs the conformer stacks + postnet with a
+    # bf16 residual stream (fp32 params, LN/softmax stats, losses). The
+    # step is HBM-bandwidth-bound at fp32 (~80 GB/step at arctic vc2 scale)
+    # so this is the primary train-throughput lever on TPU.
+    compute_dtype: str = "float32"
+
+    @property
+    def _dtype(self):
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
 
     def setup(self):
         if self.encoder_type != "conformer":
@@ -129,6 +138,7 @@ class AASVC(nn.Module):
             use_cnn_module=self.use_cnn_in_conformer,
             cnn_module_kernel=self.conformer_enc_kernel_size,
             attention_backend=self.attention_backend,
+            dtype=self._dtype,
         )
         if self.spk_embed_dim is not None:
             self.projection = nn.Dense(self.adim)
@@ -178,6 +188,7 @@ class AASVC(nn.Module):
             use_cnn_module=self.use_cnn_in_conformer,
             cnn_module_kernel=self.conformer_dec_kernel_size,
             attention_backend=self.attention_backend,
+            dtype=self._dtype,
         )
         self.feat_out = nn.Dense(self.odim * self.decoder_reduction_factor)
         if self.postnet_layers > 0:
@@ -188,6 +199,7 @@ class AASVC(nn.Module):
                 n_filts=self.postnet_filts,
                 dropout_rate=self.postnet_dropout_rate,
                 use_norm=self.use_batch_norm,
+                dtype=self._dtype,
             )
         else:
             self.postnet = None

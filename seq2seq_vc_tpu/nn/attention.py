@@ -10,7 +10,7 @@ decoding uses a real fixed-size KV cache written with dynamic_update_slice
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -50,12 +50,15 @@ class MultiHeadedAttention(nn.Module):
     n_feat: int
     dropout_rate: float = 0.0
     backend: str = "xla"  # 'xla' | 'flash'
+    # computation dtype for the projections and the AV matmul; scores and
+    # softmax always accumulate in fp32 (params stay fp32 regardless)
+    dtype: Any = None
 
     def setup(self):
-        self.linear_q = nn.Dense(self.n_feat)
-        self.linear_k = nn.Dense(self.n_feat)
-        self.linear_v = nn.Dense(self.n_feat)
-        self.linear_out = nn.Dense(self.n_feat)
+        self.linear_q = nn.Dense(self.n_feat, dtype=self.dtype)
+        self.linear_k = nn.Dense(self.n_feat, dtype=self.dtype)
+        self.linear_v = nn.Dense(self.n_feat, dtype=self.dtype)
+        self.linear_out = nn.Dense(self.n_feat, dtype=self.dtype)
         self.attn_dropout = nn.Dropout(self.dropout_rate)
 
     def _qkv(self, query, key, value):
@@ -89,8 +92,14 @@ class MultiHeadedAttention(nn.Module):
             out = flash_attention(q, k, v, kv_lens=kv_lens)
             return self.linear_out(_merge_heads(out))
         out, w = scaled_dot_attention(q, k, v, mask=_expand_mask(mask), return_weights=True)
-        w = self.attn_dropout(w, deterministic=deterministic)
-        out = jnp.einsum("bhqk,bhkd->bhqd", w, v.astype(w.dtype))
+        if not deterministic and self.dropout_rate > 0.0:
+            w = self.attn_dropout(w, deterministic=False)
+            out = jnp.einsum(
+                "bhqk,bhkd->bhqd",
+                w.astype(v.dtype),
+                v,
+                preferred_element_type=jnp.float32,
+            ).astype(v.dtype)
         out = self.linear_out(_merge_heads(out))
         if return_weights:
             return out, w
@@ -136,6 +145,7 @@ class RelPositionMultiHeadedAttention(nn.Module):
     zero_triu: bool = False
     legacy: bool = False
     backend: str = "xla"  # 'flash' uses the Pallas rel-pos kernel (new-style only)
+    dtype: Any = None  # computation dtype; scores/softmax stay fp32
 
     @nn.compact
     def __call__(
@@ -149,11 +159,20 @@ class RelPositionMultiHeadedAttention(nn.Module):
         return_weights: bool = False,
     ):
         d_k = self.n_feat // self.n_head
-        q = _split_heads(nn.Dense(self.n_feat, name="linear_q")(query), self.n_head)
-        k = _split_heads(nn.Dense(self.n_feat, name="linear_k")(key), self.n_head)
-        v = _split_heads(nn.Dense(self.n_feat, name="linear_v")(value), self.n_head)
+        q = _split_heads(
+            nn.Dense(self.n_feat, dtype=self.dtype, name="linear_q")(query), self.n_head
+        )
+        k = _split_heads(
+            nn.Dense(self.n_feat, dtype=self.dtype, name="linear_k")(key), self.n_head
+        )
+        v = _split_heads(
+            nn.Dense(self.n_feat, dtype=self.dtype, name="linear_v")(value), self.n_head
+        )
         p = _split_heads(
-            nn.Dense(self.n_feat, use_bias=False, name="linear_pos")(pos_emb), self.n_head
+            nn.Dense(
+                self.n_feat, use_bias=False, dtype=self.dtype, name="linear_pos"
+            )(pos_emb.astype(q.dtype)),
+            self.n_head,
         )  # (1, H, 2T-1 or T, d_k)
 
         pos_bias_u = self.param(
@@ -163,8 +182,8 @@ class RelPositionMultiHeadedAttention(nn.Module):
             "pos_bias_v", nn.initializers.xavier_uniform(), (self.n_head, d_k)
         )
 
-        q_u = q + pos_bias_u[None, :, None, :]
-        q_v = q + pos_bias_v[None, :, None, :]
+        q_u = q + pos_bias_u[None, :, None, :].astype(q.dtype)
+        q_v = q + pos_bias_v[None, :, None, :].astype(q.dtype)
 
         if (
             self.backend == "flash"
@@ -182,7 +201,9 @@ class RelPositionMultiHeadedAttention(nn.Module):
             out = rel_flash_attention(
                 q_u, q_v, k, v, p[0], kv_lens=kv_lens, legacy=self.legacy
             )
-            return nn.Dense(self.n_feat, name="linear_out")(_merge_heads(out))
+            return nn.Dense(self.n_feat, dtype=self.dtype, name="linear_out")(
+                _merge_heads(out)
+            )
         matrix_ac = jnp.einsum("bhqd,bhkd->bhqk", q_u, k, preferred_element_type=jnp.float32)
         matrix_bd = jnp.einsum("bhqd,bhpd->bhqp", q_v, p, preferred_element_type=jnp.float32)
         matrix_bd = rel_shift(matrix_bd, legacy=self.legacy)
@@ -198,8 +219,13 @@ class RelPositionMultiHeadedAttention(nn.Module):
         if m is not None:
             w = jnp.where(m, w, 0.0)
         w = nn.Dropout(self.dropout_rate)(w, deterministic=deterministic)
-        out = jnp.einsum("bhqk,bhkd->bhqd", w, v.astype(w.dtype))
-        out = nn.Dense(self.n_feat, name="linear_out")(_merge_heads(out))
+        out = jnp.einsum(
+            "bhqk,bhkd->bhqd",
+            w.astype(v.dtype),
+            v,
+            preferred_element_type=jnp.float32,
+        ).astype(v.dtype)
+        out = nn.Dense(self.n_feat, dtype=self.dtype, name="linear_out")(_merge_heads(out))
         if return_weights:
             return out, w
         return out

@@ -13,7 +13,7 @@ BatchNorm with mutable ``batch_stats``).
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
@@ -39,20 +39,24 @@ class MaskedGroupNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask=None):
-        # x: (B, T, C); mask: (B, T) True at valid frames or None
+        # x: (B, T, C); mask: (B, T) True at valid frames or None.
+        # Statistics accumulate in fp32 even under bf16 compute; the output
+        # is returned in the input dtype.
         c = x.shape[-1]
+        in_dtype = x.dtype
+        xf = x.astype(jnp.float32)
         if mask is None:
-            mean = jnp.mean(x, axis=(1, 2), keepdims=True)
-            var = jnp.mean((x - mean) ** 2, axis=(1, 2), keepdims=True)
+            mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+            var = jnp.mean((xf - mean) ** 2, axis=(1, 2), keepdims=True)
         else:
-            m = mask[..., None].astype(x.dtype)
+            m = mask[..., None].astype(jnp.float32)
             denom = jnp.maximum(m.sum(axis=(1, 2), keepdims=True) * c, 1.0)
-            mean = jnp.sum(x * m, axis=(1, 2), keepdims=True) / denom
-            var = jnp.sum(((x - mean) * m) ** 2, axis=(1, 2), keepdims=True) / denom
+            mean = jnp.sum(xf * m, axis=(1, 2), keepdims=True) / denom
+            var = jnp.sum(((xf - mean) * m) ** 2, axis=(1, 2), keepdims=True) / denom
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
-        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
-        return y * scale + bias
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return (y * scale + bias).astype(in_dtype)
 
 
 class ConvolutionModule(nn.Module):
@@ -65,13 +69,14 @@ class ConvolutionModule(nn.Module):
     channels: int
     kernel_size: int
     conv_norm_type: str = "group_norm"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, mask=None, deterministic: bool = True):
         assert (self.kernel_size - 1) % 2 == 0
         if mask is not None:
             x = x * mask[..., None].astype(x.dtype)
-        h = nn.Conv(2 * self.channels, (1,))(x)
+        h = nn.Conv(2 * self.channels, (1,), dtype=self.dtype)(x)
         h = nn.glu(h, axis=-1)
         if mask is not None:
             h = h * mask[..., None].astype(h.dtype)
@@ -80,6 +85,7 @@ class ConvolutionModule(nn.Module):
             (self.kernel_size,),
             padding="SAME",
             feature_group_count=self.channels,
+            dtype=self.dtype,
         )(h)
         if self.conv_norm_type == "group_norm":
             h = MaskedGroupNorm()(h, mask)
@@ -88,7 +94,7 @@ class ConvolutionModule(nn.Module):
         else:
             raise ValueError(self.conv_norm_type)
         h = nn.swish(h)
-        return nn.Conv(self.channels, (1,))(h)
+        return nn.Conv(self.channels, (1,), dtype=self.dtype)(h)
 
 
 class ConformerEncoderLayer(nn.Module):
@@ -110,46 +116,50 @@ class ConformerEncoderLayer(nn.Module):
     conv_norm_type: str = "group_norm"
     zero_triu: bool = False
     attention_backend: str = "xla"
+    dtype: Any = None  # computation dtype (LN statistics stay fp32)
 
     def setup(self):
         if self.selfattention_layer_type == "selfattn":
             self.self_attn = MultiHeadedAttention(
                 self.n_head, self.size, self.attention_dropout_rate,
-                backend=self.attention_backend,
+                backend=self.attention_backend, dtype=self.dtype,
             )
         elif self.selfattention_layer_type == "rel_selfattn":
             self.self_attn = RelPositionMultiHeadedAttention(
                 self.n_head, self.size, self.attention_dropout_rate,
                 zero_triu=self.zero_triu, backend=self.attention_backend,
+                dtype=self.dtype,
             )
         elif self.selfattention_layer_type == "legacy_rel_selfattn":
             self.self_attn = LegacyRelPositionMultiHeadedAttention(
                 self.n_head, self.size, self.attention_dropout_rate,
                 zero_triu=self.zero_triu, backend=self.attention_backend,
+                dtype=self.dtype,
             )
         else:
             raise ValueError(self.selfattention_layer_type)
         self.feed_forward = _positionwise(
             self.positionwise_layer_type, self.linear_units,
-            self.dropout_rate, self.positionwise_conv_kernel_size,
+            self.dropout_rate, self.positionwise_conv_kernel_size, self.dtype,
         )
         if self.macaron_style:
             self.feed_forward_macaron = _positionwise(
                 self.positionwise_layer_type, self.linear_units,
-                self.dropout_rate, self.positionwise_conv_kernel_size,
+                self.dropout_rate, self.positionwise_conv_kernel_size, self.dtype,
             )
-            self.norm_ff_macaron = nn.LayerNorm(epsilon=LN_EPS)
+            self.norm_ff_macaron = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype)
         if self.use_cnn_module:
             self.conv_module = ConvolutionModule(
-                self.size, self.cnn_module_kernel, self.conv_norm_type
+                self.size, self.cnn_module_kernel, self.conv_norm_type,
+                dtype=self.dtype,
             )
-            self.norm_conv = nn.LayerNorm(epsilon=LN_EPS)
-            self.norm_final = nn.LayerNorm(epsilon=LN_EPS)
-        self.norm_ff = nn.LayerNorm(epsilon=LN_EPS)
-        self.norm_mha = nn.LayerNorm(epsilon=LN_EPS)
+            self.norm_conv = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype)
+            self.norm_final = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype)
+        self.norm_ff = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype)
+        self.norm_mha = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype)
         self.dropout = nn.Dropout(self.dropout_rate)
         if self.concat_after:
-            self.concat_linear = nn.Dense(self.size)
+            self.concat_linear = nn.Dense(self.size, dtype=self.dtype)
 
     def __call__(self, x, mask, pos_emb=None, deterministic: bool = True):
         ff_scale = 0.5 if self.macaron_style else 1.0
@@ -227,6 +237,10 @@ class ConformerEncoder(nn.Module):
     zero_triu: bool = False
     padding_idx: int = 0
     attention_backend: str = "xla"
+    # computation dtype for the layer stack (e.g. jnp.bfloat16): the
+    # residual stream runs in this dtype, LN/softmax statistics stay fp32,
+    # params stay fp32, and the final output is cast back to fp32.
+    dtype: Any = None
 
     @property
     def conv_subsampling_factor(self) -> int:
@@ -270,11 +284,12 @@ class ConformerEncoder(nn.Module):
                 self.conv_norm_type,
                 self.zero_triu,
                 self.attention_backend,
+                dtype=self.dtype,
             )
             for _ in range(self.num_blocks)
         ]
         if self.normalize_before:
-            self.after_norm = nn.LayerNorm(epsilon=LN_EPS)
+            self.after_norm = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype)
         self.input_dropout = nn.Dropout(self.dropout_rate)
 
     def __call__(self, xs, masks: Optional[jnp.ndarray], deterministic: bool = True):
@@ -297,9 +312,11 @@ class ConformerEncoder(nn.Module):
         else:
             xs = out
 
+        if self.dtype is not None:
+            xs = xs.astype(self.dtype)
         attn_mask = None if masks is None else masks[:, None, :]
         for layer in self.layers:
             xs = layer(xs, attn_mask, pos_emb=pos_emb, deterministic=deterministic)
         if self.normalize_before:
             xs = self.after_norm(xs)
-        return xs, masks
+        return xs.astype(jnp.float32), masks

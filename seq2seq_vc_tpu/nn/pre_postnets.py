@@ -11,6 +11,8 @@ rationale and switch as the conformer conv module).
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -43,18 +45,22 @@ class Postnet(nn.Module):
     dropout_rate: float = 0.5
     use_norm: bool = True
     norm_type: str = "group_norm"  # 'group_norm' | 'batch_norm'
+    dtype: Any = None  # computation dtype (norm stats fp32; output fp32)
 
     @nn.compact
     def __call__(self, xs, deterministic: bool = True):
         """xs: (B, T, odim) -> (B, T, odim) residual refinement (not added)."""
-        h = xs
+        h = xs if self.dtype is None else xs.astype(self.dtype)
         for layer in range(self.n_layers):
             is_last = layer == self.n_layers - 1
             ochans = self.odim if is_last else self.n_chans
-            h = nn.Conv(ochans, (self.n_filts,), padding="SAME", use_bias=False)(h)
+            h = nn.Conv(
+                ochans, (self.n_filts,), padding="SAME", use_bias=False,
+                dtype=self.dtype,
+            )(h)
             if self.use_norm:
                 if self.norm_type == "group_norm":
-                    h = nn.GroupNorm(num_groups=1)(h)
+                    h = nn.GroupNorm(num_groups=1, dtype=self.dtype)(h)
                 elif self.norm_type == "batch_norm":
                     h = nn.BatchNorm(use_running_average=deterministic)(h)
                 else:
@@ -62,4 +68,4 @@ class Postnet(nn.Module):
             if not is_last:
                 h = nn.tanh(h)
             h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
-        return h
+        return h.astype(xs.dtype)

@@ -37,13 +37,14 @@ LN_EPS = 1e-12  # reference layer_norm.py uses eps=1e-12
 class PositionwiseFeedForward(nn.Module):
     hidden_units: int
     dropout_rate: float = 0.1
+    dtype: Any = None  # computation dtype (params stay fp32)
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         d = x.shape[-1]
-        h = nn.relu(nn.Dense(self.hidden_units)(x))
+        h = nn.relu(nn.Dense(self.hidden_units, dtype=self.dtype)(x))
         h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
-        return nn.Dense(d)(h)
+        return nn.Dense(d, dtype=self.dtype)(h)
 
 
 class MultiLayeredConv1d(nn.Module):
@@ -52,14 +53,17 @@ class MultiLayeredConv1d(nn.Module):
     hidden_chans: int
     kernel_size: int
     dropout_rate: float = 0.1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         d = x.shape[-1]
-        h = nn.Conv(self.hidden_chans, (self.kernel_size,), padding="SAME")(x)
+        h = nn.Conv(
+            self.hidden_chans, (self.kernel_size,), padding="SAME", dtype=self.dtype
+        )(x)
         h = nn.relu(h)
         h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
-        return nn.Conv(d, (self.kernel_size,), padding="SAME")(h)
+        return nn.Conv(d, (self.kernel_size,), padding="SAME", dtype=self.dtype)(h)
 
 
 class Conv1dLinear(nn.Module):
@@ -68,23 +72,28 @@ class Conv1dLinear(nn.Module):
     hidden_chans: int
     kernel_size: int
     dropout_rate: float = 0.1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         d = x.shape[-1]
-        h = nn.Conv(self.hidden_chans, (self.kernel_size,), padding="SAME")(x)
+        h = nn.Conv(
+            self.hidden_chans, (self.kernel_size,), padding="SAME", dtype=self.dtype
+        )(x)
         h = nn.relu(h)
         h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
-        return nn.Dense(d)(h)
+        return nn.Dense(d, dtype=self.dtype)(h)
 
 
-def _positionwise(kind: str, linear_units: int, dropout_rate: float, kernel: int):
+def _positionwise(
+    kind: str, linear_units: int, dropout_rate: float, kernel: int, dtype: Any = None
+):
     if kind == "linear":
-        return PositionwiseFeedForward(linear_units, dropout_rate)
+        return PositionwiseFeedForward(linear_units, dropout_rate, dtype=dtype)
     if kind == "conv1d":
-        return MultiLayeredConv1d(linear_units, kernel, dropout_rate)
+        return MultiLayeredConv1d(linear_units, kernel, dropout_rate, dtype=dtype)
     if kind == "conv1d-linear":
-        return Conv1dLinear(linear_units, kernel, dropout_rate)
+        return Conv1dLinear(linear_units, kernel, dropout_rate, dtype=dtype)
     raise ValueError(f"unknown positionwise_layer_type: {kind}")
 
 
@@ -188,20 +197,23 @@ class EncoderLayer(nn.Module):
     selfattention_layer_type: str = "selfattn"
     stochastic_depth_rate: float = 0.0
     attention_backend: str = "xla"
+    dtype: Any = None  # computation dtype (LN stats stay fp32)
 
     def setup(self):
         if self.selfattention_layer_type == "selfattn":
             self.self_attn = MultiHeadedAttention(
                 self.n_head, self.size, self.attention_dropout_rate,
-                backend=self.attention_backend,
+                backend=self.attention_backend, dtype=self.dtype,
             )
         elif self.selfattention_layer_type == "rel_selfattn":
             self.self_attn = RelPositionMultiHeadedAttention(
-                self.n_head, self.size, self.attention_dropout_rate
+                self.n_head, self.size, self.attention_dropout_rate,
+                dtype=self.dtype,
             )
         elif self.selfattention_layer_type == "legacy_rel_selfattn":
             self.self_attn = LegacyRelPositionMultiHeadedAttention(
-                self.n_head, self.size, self.attention_dropout_rate
+                self.n_head, self.size, self.attention_dropout_rate,
+                dtype=self.dtype,
             )
         else:
             raise ValueError(self.selfattention_layer_type)
@@ -210,12 +222,13 @@ class EncoderLayer(nn.Module):
             self.linear_units,
             self.dropout_rate,
             self.positionwise_conv_kernel_size,
+            self.dtype,
         )
-        self.norm1 = nn.LayerNorm(epsilon=LN_EPS)
-        self.norm2 = nn.LayerNorm(epsilon=LN_EPS)
+        self.norm1 = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype)
+        self.norm2 = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype)
         self.dropout = nn.Dropout(self.dropout_rate)
         if self.concat_after:
-            self.concat_linear = nn.Dense(self.size)
+            self.concat_linear = nn.Dense(self.size, dtype=self.dtype)
 
     def _maybe_skip(self, deterministic: bool):
         if deterministic or self.stochastic_depth_rate == 0.0:
@@ -281,6 +294,9 @@ class Encoder(nn.Module):
     stochastic_depth_rate: float = 0.0
     init_enc_alpha: float = 1.0
     attention_backend: str = "xla"  # 'flash' uses the Pallas kernel at inference
+    # computation dtype (e.g. jnp.bfloat16): bf16 residual stream, fp32
+    # params/LN stats; the final output is cast back to fp32.
+    dtype: Any = None
 
     @property
     def conv_subsampling_factor(self) -> int:
@@ -316,11 +332,12 @@ class Encoder(nn.Module):
                 self.selfattention_layer_type,
                 self.stochastic_depth_rate,
                 self.attention_backend,
+                dtype=self.dtype,
             )
             for _ in range(self.num_blocks)
         ]
         if self.normalize_before:
-            self.after_norm = nn.LayerNorm(epsilon=LN_EPS)
+            self.after_norm = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype)
         self.input_dropout = nn.Dropout(self.dropout_rate)
 
     def __call__(self, xs, masks: Optional[jnp.ndarray], deterministic: bool = True):
@@ -350,11 +367,14 @@ class Encoder(nn.Module):
         else:
             xs = out
 
+        if self.dtype is not None:
+            xs = xs.astype(self.dtype)
         attn_mask = None if masks is None else masks[:, None, :]
         for layer in self.layers:
             xs = layer(xs, attn_mask, pos_emb=pos_emb, deterministic=deterministic)
         if self.normalize_before:
             xs = self.after_norm(xs)
+        xs = xs.astype(jnp.float32)
         return xs, masks
 
 
@@ -369,22 +389,27 @@ class DecoderLayer(nn.Module):
     src_attention_dropout_rate: float = 0.0
     normalize_before: bool = True
     concat_after: bool = False
+    dtype: Any = None  # computation dtype (LN stats stay fp32)
 
     def setup(self):
         self.self_attn = MultiHeadedAttention(
-            self.n_head, self.size, self.self_attention_dropout_rate
+            self.n_head, self.size, self.self_attention_dropout_rate,
+            dtype=self.dtype,
         )
         self.src_attn = MultiHeadedAttention(
-            self.n_head, self.size, self.src_attention_dropout_rate
+            self.n_head, self.size, self.src_attention_dropout_rate,
+            dtype=self.dtype,
         )
-        self.feed_forward = PositionwiseFeedForward(self.linear_units, self.dropout_rate)
-        self.norm1 = nn.LayerNorm(epsilon=LN_EPS)
-        self.norm2 = nn.LayerNorm(epsilon=LN_EPS)
-        self.norm3 = nn.LayerNorm(epsilon=LN_EPS)
+        self.feed_forward = PositionwiseFeedForward(
+            self.linear_units, self.dropout_rate, dtype=self.dtype
+        )
+        self.norm1 = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype)
+        self.norm2 = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype)
+        self.norm3 = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype)
         self.dropout = nn.Dropout(self.dropout_rate)
         if self.concat_after:
-            self.concat_linear1 = nn.Dense(self.size)
-            self.concat_linear2 = nn.Dense(self.size)
+            self.concat_linear1 = nn.Dense(self.size, dtype=self.dtype)
+            self.concat_linear2 = nn.Dense(self.size, dtype=self.dtype)
 
     def __call__(
         self,
@@ -514,6 +539,7 @@ class Decoder(nn.Module):
     normalize_before: bool = True
     concat_after: bool = False
     init_dec_alpha: float = 1.0
+    dtype: Any = None  # computation dtype (LN stats fp32; output fp32)
 
     def setup(self):
         if self.input_layer == "linear":
@@ -536,11 +562,12 @@ class Decoder(nn.Module):
                 self.src_attention_dropout_rate,
                 self.normalize_before,
                 self.concat_after,
+                dtype=self.dtype,
             )
             for _ in range(self.num_blocks)
         ]
         if self.normalize_before:
-            self.after_norm = nn.LayerNorm(epsilon=LN_EPS)
+            self.after_norm = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype)
         if self.use_output_layer:
             self.output_layer = nn.Dense(self.odim)
 
@@ -570,6 +597,8 @@ class Decoder(nn.Module):
             memory_mask: (B, Tmem) bool non-pad.
         """
         x = self._embed(tgt, deterministic)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         mem_mask = None if memory_mask is None else memory_mask[:, None, :]
         self_ws, src_ws = [], []
         for layer in self.layers:
@@ -581,6 +610,7 @@ class Decoder(nn.Module):
             src_ws.append(cw)
         if self.normalize_before:
             x = self.after_norm(x)
+        x = x.astype(jnp.float32)
         if self.use_output_layer:
             x = self.output_layer(x)
         if return_attns:
@@ -589,7 +619,9 @@ class Decoder(nn.Module):
 
     def init_cache(self, batch: int, maxlen: int) -> Dict[str, Any]:
         dh = self.attention_dim // self.attention_heads
-        zeros = jnp.zeros((batch, self.attention_heads, maxlen, dh), jnp.float32)
+        zeros = jnp.zeros(
+            (batch, self.attention_heads, maxlen, dh), self.dtype or jnp.float32
+        )
         return {
             "k": jnp.stack([zeros] * self.num_blocks),
             "v": jnp.stack([zeros] * self.num_blocks),

@@ -51,7 +51,14 @@ def scaled_dot_attention(
     attn = jax.nn.softmax(scores, axis=-1)
     if mask is not None:
         attn = jnp.where(mask, attn, 0.0)
-    out = jnp.einsum("bhqk,bhkd->bhqd", attn, v.astype(attn.dtype))
+    # AV matmul in v's dtype (bf16 under mixed precision) with fp32 MXU
+    # accumulation; the fp32 attention map is still returned for losses.
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd",
+        attn.astype(v.dtype),
+        v,
+        preferred_element_type=jnp.float32,
+    ).astype(v.dtype)
     if return_weights:
         return out, attn
     return out

@@ -18,7 +18,7 @@ import logging
 import os
 import time
 from collections import defaultdict
-from typing import Any, Dict, Optional
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import numpy as np
@@ -76,6 +76,9 @@ class Trainer:
         # would force a host sync per step and kill device/host overlap.
         self._pending_metrics: list = []
         self._interval_tick = time.time()
+        self._step_costs: Dict[Any, Tuple[float, float]] = {}
+        self._last_cost_key = None
+        self._profiling = False
 
     # ------------------------------------------------------------------ api
     def run(self):
@@ -123,6 +126,68 @@ class Trainer:
         self._jit_cache[flags] = fn
         return fn
 
+    # -------------------------------------------------------- observability
+    def _record_step_cost(self, fn, flags, arrays, rng):
+        """XLA-reported FLOPs/bytes for one train-step shape (for MFU logs).
+
+        Replaces the reference's absent profiling layer (SURVEY.md §5) with
+        the TPU-native equivalent: ``jit(...).lower().compile()`` shares the
+        executable cache with the live call, so ``cost_analysis`` is free.
+        Gated behind ``log_mfu`` (an extra trace per batch bucket).
+        """
+        key = tuple(sorted((k, v.shape) for k, v in arrays.items()))
+        if key in self._step_costs:
+            return
+        try:
+            cost = fn.lower(self.state, arrays, rng).compile().cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            self._step_costs[key] = (
+                float(cost.get("flops", 0.0)),
+                float(cost.get("bytes accessed", 0.0)),
+            )
+        except Exception as e:  # pragma: no cover - cost analysis optional
+            logging.debug("cost_analysis unavailable: %s", e)
+            self._step_costs[key] = (0.0, 0.0)
+        self._last_cost_key = key
+
+    @staticmethod
+    def _device_peak_flops() -> float:
+        """Best-effort single-chip bf16 peak for the local device kind."""
+        kind = jax.devices()[0].device_kind.lower()
+        table = {
+            "v2": 45e12, "v3": 123e12, "v4": 275e12,
+            "v5 lite": 197e12, "v5e": 197e12, "v5p": 459e12, "v5": 459e12,
+            "v6 lite": 918e12, "v6e": 918e12,
+        }
+        for name, peak in table.items():
+            if name in kind:
+                return peak
+        return 275e12
+
+    def _maybe_profile(self):
+        """Start/stop a jax.profiler trace at configured optimizer steps.
+
+        ``profile_start_step``/``profile_stop_step`` in the config bound the
+        traced window; the trace lands in ``<outdir>/profile`` (TensorBoard
+        'profile' plugin format).
+        """
+        start = self.config.get("profile_start_step")
+        stop = self.config.get("profile_stop_step")
+        if start is None or not is_coordinator():
+            return
+        if not self._profiling and self.steps >= int(start) and (
+            stop is None or self.steps < int(stop)
+        ):
+            path = os.path.join(self.outdir, "profile")
+            jax.profiler.start_trace(path)
+            self._profiling = True
+            logging.info("profiler trace started -> %s", path)
+        elif self._profiling and stop is not None and self.steps >= int(stop):
+            jax.profiler.stop_trace()
+            self._profiling = False
+            logging.info("profiler trace stopped")
+
     def _get_eval_fn(self, flags):
         key = ("eval", flags)
         if key in self._jit_cache:
@@ -146,6 +211,8 @@ class Trainer:
         arrays = self._array_batch(batch)
         rng = jax.random.fold_in(self.rng, self._micro_total)
         fn = self._get_step_fn(self._flags())
+        if self.config.get("log_mfu"):
+            self._record_step_cost(fn, self._flags(), arrays, rng)
         self.state, metrics = fn(self.state, arrays, rng)
         # defer the host fetch to the log interval; keep the step async
         self._pending_metrics.append(metrics)
@@ -160,6 +227,8 @@ class Trainer:
         for batch in self.train_loader:
             boundary = self._train_step(batch)
             # interval checks fire once per OPTIMIZER step, not per micro-batch
+            if boundary:
+                self._maybe_profile()
             if boundary and is_coordinator():
                 self._check_log_interval()
                 self._check_eval_interval()
@@ -191,6 +260,19 @@ class Trainer:
                     self.writer.add_scalar(key, avg, self.steps)
             if self.writer:
                 self.writer.add_scalar("train/step_time_sec", avg_t, self.steps)
+            if self._last_cost_key is not None and avg_t > 0:
+                flops, hbm_bytes = self._step_costs[self._last_cost_key]
+                if flops:
+                    tflops = flops / avg_t / 1e12
+                    mfu = flops / avg_t / self._device_peak_flops()
+                    logging.info(
+                        "(steps: %d) train/tflops_per_sec = %.2f, mfu = %.3f, "
+                        "hbm_GBps = %.1f.",
+                        self.steps, tflops, mfu, hbm_bytes / avg_t / 1e9,
+                    )
+                    if self.writer:
+                        self.writer.add_scalar("train/tflops_per_sec", tflops, self.steps)
+                        self.writer.add_scalar("train/mfu", mfu, self.steps)
             self.total_train_loss = defaultdict(float)
             self._pending_metrics = []
             self._interval_tick = time.time()
