@@ -7,8 +7,10 @@ on-device extractor (``dsp/features.py``), so feature extraction runs on
 TPU; silence trimming is a host-side RMS gate matching librosa.effects.trim
 semantics.
 
-Feature types: ``mel`` (more — encodec/ppg upstreams — are gated until
-their encoders are available in-image; the CLI rejects them clearly).
+Feature types: ``mel`` (jitted on-device extractor) and ``encodec``
+(native flax SEANet port, ``encoders/encodec.py``; needs a torch checkpoint
+path in the config). s3prl PPG upstreams remain gated until their encoders
+are available in-image; the CLI rejects them clearly.
 """
 
 from __future__ import annotations
@@ -91,11 +93,31 @@ def main():
 
     sr = config["sampling_rate"]
     feat_list = config.get("feat_list", {"mel": {}})
-    unsupported = [k for k in feat_list if k != "mel"]
+    encodec = None
+    if "encodec" in feat_list:
+        # native SEANet EnCodec-24k encoder (reference utils/encodec.py uses
+        # the external package; here the torch checkpoint is converted into
+        # the flax port — see seq2seq_vc_tpu/encoders/encodec.py)
+        ckpt = (feat_list["encodec"] or {}).get("checkpoint") or config.get(
+            "encodec_checkpoint"
+        )
+        if not ckpt:
+            raise ValueError(
+                "feat_list.encodec needs `checkpoint:` (a torch EnCodec "
+                "state_dict — HF transformers or facebookresearch naming); "
+                "this image has no network access to auto-download one"
+            )
+        from ..encoders.encodec import EncodecEncoder, load_encodec
+
+        import jax
+
+        enc_model, enc_params = load_encodec(ckpt)
+        encodec = (jax.jit(enc_model.apply), enc_params)
+    unsupported = [k for k in feat_list if k not in ("mel", "encodec")]
     if unsupported:
         raise NotImplementedError(
             f"feature types {unsupported} need external encoders not present "
-            "in this image; only 'mel' is supported"
+            "in this image; supported here: 'mel', 'encodec'"
         )
     extractor = LogMelExtractor(
         sampling_rate=sr,
@@ -147,6 +169,18 @@ def main():
         out = os.path.join(args.dumpdir, f"{utt_id}.h5")
         write_hdf5(out, "wave", audio.astype(np.float32))
         write_hdf5(out, "mel", mel.astype(np.float32))
+        if encodec is not None:
+            # reference preprocess.py:285-296: resample to the model rate
+            # (24 kHz mono) and store the continuous encoder embeddings.
+            # Pad to a 5120-sample bucket (16 encodec hops) so jit compiles
+            # O(len/bucket) variants instead of one per utterance length.
+            apply_fn, enc_params = encodec
+            wav24 = resample(audio, sr, 24000)
+            n_frames = int(np.ceil(len(wav24) / 320))
+            bucket = 320 * 16
+            padded = np.pad(wav24, (0, -len(wav24) % bucket))
+            feat = np.asarray(apply_fn(enc_params, padded[None])[0], np.float32)
+            write_hdf5(out, "encodec", feat[:n_frames])
 
 
 if __name__ == "__main__":

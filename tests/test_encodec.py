@@ -1,0 +1,93 @@
+"""EnCodec encoder port: numerical parity vs torch (transformers).
+
+Instantiates a randomly-initialized ``transformers.EncodecModel`` (24 kHz
+default config — no download needed), converts its encoder weights with
+``convert_torch_encodec``, and compares embeddings on random audio.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from seq2seq_vc_tpu.encoders import EncodecEncoder, convert_torch_encodec  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def torch_encodec():
+    from transformers import EncodecConfig, EncodecModel
+
+    torch.manual_seed(0)
+    return EncodecModel(EncodecConfig()).eval()
+
+
+def test_encoder_parity(torch_encodec):
+    rng = np.random.default_rng(0)
+    wav = (rng.standard_normal(24000) * 0.1).astype(np.float32)  # 1 s @ 24 kHz
+    with torch.no_grad():
+        ref = torch_encodec.encoder(torch.from_numpy(wav)[None, None])  # (1,128,T)
+    ref = ref[0].T.numpy()  # (T, 128)
+
+    model = EncodecEncoder()
+    params = convert_torch_encodec(torch_encodec.state_dict())
+    out = np.asarray(model.apply(params, wav[None])[0])  # (T, 128)
+
+    assert out.shape == ref.shape == (75, 128)
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_frame_rate(torch_encodec):
+    # 320-sample hop: n frames == ceil(n_samples / 320)
+    model = EncodecEncoder()
+    params = convert_torch_encodec(torch_encodec.state_dict())
+    wav = np.zeros(24000 + 173, np.float32)
+    out = model.apply(params, wav[None])
+    assert out.shape[1] == int(np.ceil(len(wav) / 320))
+
+
+def test_preprocess_encodec_cli(torch_encodec, tmp_path, monkeypatch):
+    """bin/preprocess extracts an `encodec` dataset alongside mel."""
+    import sys
+
+    import h5py
+    import yaml
+
+    from seq2seq_vc_tpu.bin import preprocess as preprocess_bin
+    from seq2seq_vc_tpu.utils.audio import write_wav
+
+    ckpt = tmp_path / "encodec_random.pt"
+    torch.save(torch_encodec.state_dict(), ckpt)
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    wav = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    write_wav(str(tmp_path / "utt1.wav"), wav, sr)
+    (tmp_path / "wav.scp").write_text(f"utt1 {tmp_path}/utt1.wav\n")
+
+    conf = {
+        "sampling_rate": sr, "fft_size": 1024, "hop_size": 256,
+        "win_length": None, "window": "hann", "num_mels": 80,
+        "fmin": 80, "fmax": 7600, "global_gain_scale": 1.0,
+        "trim_silence": False, "format": "hdf5",
+        "feat_list": {"mel": {}, "encodec": {"checkpoint": str(ckpt)}},
+    }
+    (tmp_path / "conf.yaml").write_text(yaml.safe_dump(conf))
+
+    monkeypatch.setattr(
+        sys, "argv",
+        [
+            "preprocess",
+            "--wav-scp", str(tmp_path / "wav.scp"),
+            "--dumpdir", str(tmp_path / "dump"),
+            "--config", str(tmp_path / "conf.yaml"),
+        ],
+    )
+    preprocess_bin.main()
+    with h5py.File(tmp_path / "dump" / "utt1.h5", "r") as f:
+        enc = f["encodec"][()]
+        mel = f["mel"][()]
+    assert enc.shape[1] == 128 and enc.shape[0] > 0
+    assert mel.shape[1] == 80
+    # 75 Hz vs 62.5 Hz frame rates over the same (hop-trimmed) audio
+    assert abs(enc.shape[0] / 75.0 - mel.shape[0] / 62.5) < 0.1
