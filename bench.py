@@ -245,6 +245,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # hardware RNG (the training default — bin/vc_train.py): threefry mask
+    # generation alone costs ~37 ms of the 80 ms train step
+    jax.config.update("jax_default_prng_impl", "rbg")
+
     nar_fps = bench_nar_inference(jax, jnp)
     train = bench_train_step(jax, jnp)
     ar_fps = bench_ar_decode(jax, jnp)

@@ -27,7 +27,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_model(compute_dtype="float32", attention_backend="xla"):
+def build_model(compute_dtype="float32", attention_backend="xla", remat=False):
     from seq2seq_vc_tpu.models import AASVC
 
     return AASVC(
@@ -36,6 +36,7 @@ def build_model(compute_dtype="float32", attention_backend="xla"):
         post_encoder_reduction_factor=4, duration_predictor_type="stochastic",
         conformer_enc_kernel_size=15, conformer_dec_kernel_size=15,
         compute_dtype=compute_dtype, attention_backend=attention_backend,
+        remat_layers=remat,
     )
 
 
@@ -48,6 +49,8 @@ def main():
     ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     ap.add_argument("--attn", default="xla", choices=["xla", "flash"])
     ap.add_argument("--trace", default=None, help="jax.profiler trace output dir")
+    ap.add_argument("--remat", action="store_true", help="checkpoint conformer layers")
+    ap.add_argument("--prng", default=None, choices=[None, "rbg", "threefry2x32"])
     args = ap.parse_args()
 
     import jax
@@ -57,7 +60,13 @@ def main():
     from seq2seq_vc_tpu.losses import L1Loss
     from seq2seq_vc_tpu.ops.forward_sum import beta_binomial_prior, forward_sum_loss
 
-    model = build_model(compute_dtype=args.dtype, attention_backend=args.attn)
+    if args.prng:
+        import jax as _jax
+
+        _jax.config.update("jax_default_prng_impl", args.prng)
+    model = build_model(
+        compute_dtype=args.dtype, attention_backend=args.attn, remat=args.remat
+    )
     B, T = args.batch, args.frames
     rng = np.random.default_rng(0)
     xs = rng.standard_normal((B, T, 80)).astype(np.float32)
@@ -214,6 +223,8 @@ def main():
         "mode": args.mode,
         "dtype": args.dtype,
         "attn": args.attn,
+        "remat": args.remat,
+        "prng": args.prng or "default",
         "step_ms": round(dt * 1e3, 2),
         "loss": round(loss, 4),
         "flops_G": round(flops / 1e9, 1),

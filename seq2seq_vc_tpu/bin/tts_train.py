@@ -56,6 +56,11 @@ def main():
     os.makedirs(args.outdir, exist_ok=True)
     dump_config(config, args.outdir, seq2seq_vc_tpu.__version__)
 
+    # hardware RNG for dropout masks (see bin/vc_train.py profiling note)
+    jax.config.update(
+        "jax_default_prng_impl", config.get("prng_impl", "rbg")
+    )
+
     with open(args.token_list, encoding="utf-8") as f:
         token_list = [line.rstrip("\n") for line in f if line.strip()]
     idim = len(token_list)

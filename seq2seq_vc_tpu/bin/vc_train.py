@@ -127,6 +127,13 @@ def main():
     os.makedirs(args.outdir, exist_ok=True)
     dump_config(config, args.outdir, seq2seq_vc_tpu.__version__)
 
+    # hardware RNG for dropout masks: threefry mask generation costs ~37 ms
+    # of an 80 ms arctic-vc2 train step on TPU v5e (scripts/profile_train.py
+    # --prng ablation); rbg is the documented-deviation default for training
+    jax.config.update(
+        "jax_default_prng_impl", config.get("prng_impl", "rbg")
+    )
+
     # data
     collater = build_collater(config)
     train_ds = ParallelVCMelDataset(

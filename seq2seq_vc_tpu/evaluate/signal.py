@@ -64,6 +64,80 @@ def sp2mc(powerspec: np.ndarray, order: int, alpha: float) -> np.ndarray:
     return freqt(c, order, alpha)
 
 
+def cheaptrick(
+    x: np.ndarray,
+    f0: np.ndarray,
+    fs: int,
+    fft_size: int = MCEP_FFTL,
+    shift_ms: float = MCEP_SHIFT,
+    q1: float = -0.15,
+) -> np.ndarray:
+    """Native WORLD CheapTrick spectral envelope (Morise 2015).
+
+    Faithful numpy port of the WORLD algorithm the reference reaches via
+    ``pyworld.cheaptrick`` (``/root/reference/seq2seq_vc/utils/signal.py:119``):
+    per frame, (1) pitch-adaptive Hanning windowing over 3 pitch periods with
+    weighted-mean removal, (2) DC correction mirroring the spectrum below F0,
+    (3) rectangular frequency smoothing of width 2/3 F0 on an interpolated
+    power spectrum, (4) quefrency liftering with the sinc smoothing lifter
+    and the (1-2q1)+2q1*cos compensation lifter.
+
+    Args:
+        x: float64 waveform (any scale), f0: (T,) Hz with 0 = unvoiced
+        (analyzed at the WORLD default 500 Hz), frame shift ``shift_ms``.
+    Returns:
+        (T, fft_size//2+1) power spectral envelope.
+    """
+    x = np.asarray(x, np.float64)
+    hop = fs * shift_ms / 1000.0
+    n_bins = fft_size // 2 + 1
+    freq_axis = np.arange(n_bins) * fs / fft_size
+    default_f0 = 500.0
+    f0_low_limit = fs * 3.0 / (fft_size - 3.0)
+    out = np.zeros((len(f0), n_bins))
+
+    quefrency = np.arange(1, n_bins) / fs
+    for i in range(len(f0)):
+        cf0 = float(f0[i]) if f0[i] > f0_low_limit else default_f0
+        center = int(round(i * hop))
+        # (1) pitch-adaptive windowed waveform, 1.5 periods each side
+        half = int(round(1.5 * fs / cf0))
+        base = np.arange(-half, half + 1)
+        safe = np.clip(center + base, 0, len(x) - 1)
+        win = 0.5 * np.cos(np.pi * (base / fs) * cf0 / 1.5) + 0.5
+        wave = x[safe] * win
+        wave = wave - win * (wave.sum() / win.sum())  # weighted mean removal
+        ps = np.abs(np.fft.rfft(wave, n=fft_size)) ** 2 + 1e-30
+        # (2) DC correction: mirror the spectrum around F0 for bins < F0
+        low = freq_axis < cf0
+        if low.any():
+            ps[low] += np.interp(2.0 * cf0 - freq_axis[low], freq_axis, ps)
+        # (3) rectangular smoothing, width 2/3 F0, on the interpolated
+        # cumulative integral (matches WORLD's LinearSmoothing)
+        width = 2.0 * cf0 / 3.0
+        ext_freq = np.concatenate(([-freq_axis[1]], freq_axis, [freq_axis[-1] + freq_axis[1]]))
+        ext_ps = np.concatenate(([ps[1]], ps, [ps[-2]]))  # mirror edges
+        cum = np.concatenate(([0.0], np.cumsum(0.5 * (ext_ps[1:] + ext_ps[:-1]) * np.diff(ext_freq))))
+        upper = np.interp(freq_axis + width / 2.0, ext_freq, np.concatenate(([0.0], cum[1:])))
+        lower = np.interp(freq_axis - width / 2.0, ext_freq, np.concatenate(([0.0], cum[1:])))
+        smoothed = np.maximum((upper - lower) / width, 1e-30)
+        # (4) liftering in the quefrency domain
+        log_ps = np.log(smoothed)
+        # real cepstrum: log_ps is the (real, even) half spectrum
+        cep = np.fft.irfft(log_ps, n=fft_size)[:n_bins]
+        lifter = np.empty(n_bins)
+        lifter[0] = 1.0
+        arg = np.pi * cf0 * quefrency
+        lifter[1:] = np.sin(arg) / arg  # sinc smoothing lifter
+        comp = np.empty(n_bins)
+        comp[0] = 1.0
+        comp[1:] = (1.0 - 2.0 * q1) + 2.0 * q1 * np.cos(2.0 * np.pi * quefrency * cf0)
+        cep = cep * lifter * comp
+        full = np.concatenate([cep, cep[-2:0:-1]])
+        out[i] = np.exp(np.fft.rfft(full).real)[:n_bins]
+    return out
+
+
 def spectral_envelope(x: np.ndarray, fs: int, fftl: int = MCEP_FFTL, shift_ms: float = MCEP_SHIFT):
     """Power spectrogram at a fixed frame shift (cheaptrick stand-in)."""
     hop = int(fs * shift_ms / 1000)
@@ -149,9 +223,11 @@ def world_extract(x: np.ndarray, fs: int, f0min: float, f0max: float) -> Dict[st
         sp = pw.cheaptrick(x, f0, time_axis, fs, fft_size=MCEP_FFTL)
         mcep = pysptk.sp2mc(sp, MCEP_DIM, MCEP_ALPHA)
     except ImportError:
-        sp = spectral_envelope(x / np.iinfo(np.int16).max, fs)
-        mcep = sp2mc(sp, MCEP_DIM, MCEP_ALPHA)
+        # native chain: ACF pitch (harvest stand-in) + faithful CheapTrick
+        # port (same windowing/smoothing/liftering as pyworld.cheaptrick)
         f0 = acf_f0(x / np.iinfo(np.int16).max, fs, f0min, f0max)
+        sp = cheaptrick(x, f0, fs, MCEP_FFTL, MCEP_SHIFT)
+        mcep = sp2mc(sp, MCEP_DIM, MCEP_ALPHA)
         L = min(len(f0), len(sp))
         sp, mcep, f0 = sp[:L], mcep[:L], f0[:L]
     npow = spc2npow(sp)

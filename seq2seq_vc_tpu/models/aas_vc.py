@@ -104,6 +104,9 @@ class AASVC(nn.Module):
     # step is HBM-bandwidth-bound at fp32 (~80 GB/step at arctic vc2 scale)
     # so this is the primary train-throughput lever on TPU.
     compute_dtype: str = "float32"
+    # rematerialize conformer layers in backward (jax.checkpoint): trades
+    # recompute FLOPs for HBM traffic on the bandwidth-bound train step
+    remat_layers: bool = False
 
     @property
     def _dtype(self):
@@ -139,6 +142,7 @@ class AASVC(nn.Module):
             cnn_module_kernel=self.conformer_enc_kernel_size,
             attention_backend=self.attention_backend,
             dtype=self._dtype,
+            remat=self.remat_layers,
         )
         if self.spk_embed_dim is not None:
             self.projection = nn.Dense(self.adim)
@@ -189,6 +193,7 @@ class AASVC(nn.Module):
             cnn_module_kernel=self.conformer_dec_kernel_size,
             attention_backend=self.attention_backend,
             dtype=self._dtype,
+            remat=self.remat_layers,
         )
         self.feat_out = nn.Dense(self.odim * self.decoder_reduction_factor)
         if self.postnet_layers > 0:

@@ -241,6 +241,10 @@ class ConformerEncoder(nn.Module):
     # residual stream runs in this dtype, LN/softmax statistics stay fp32,
     # params stay fp32, and the final output is cast back to fp32.
     dtype: Any = None
+    # rematerialize each layer in the backward pass (jax.checkpoint): trades
+    # recompute FLOPs for HBM traffic — a win when the step is
+    # bandwidth-bound (see scripts/profile_train.py)
+    remat: bool = False
 
     @property
     def conv_subsampling_factor(self) -> int:
@@ -266,8 +270,13 @@ class ConformerEncoder(nn.Module):
         self.pos_enc = _make_pos_enc(
             kind, self.attention_dim, self.positional_dropout_rate
         )
+        layer_cls = (
+            nn.remat(ConformerEncoderLayer, static_argnums=(4,))
+            if self.remat
+            else ConformerEncoderLayer
+        )
         self.layers = [
-            ConformerEncoderLayer(
+            layer_cls(
                 self.attention_dim,
                 self.attention_heads,
                 self.linear_units,
@@ -316,7 +325,9 @@ class ConformerEncoder(nn.Module):
             xs = xs.astype(self.dtype)
         attn_mask = None if masks is None else masks[:, None, :]
         for layer in self.layers:
-            xs = layer(xs, attn_mask, pos_emb=pos_emb, deterministic=deterministic)
+            # positional args: under remat, `deterministic` (argnum 4) is a
+            # static argument of the checkpointed call
+            xs = layer(xs, attn_mask, pos_emb, deterministic)
         if self.normalize_before:
             xs = self.after_norm(xs)
         return xs.astype(jnp.float32), masks

@@ -102,3 +102,40 @@ def test_error_rates():
     assert word_error_rate("the cat sat", "the cat sat down") == pytest.approx(0.25)
     assert character_error_rate("", "abc") == 1.0
     assert word_error_rate("a b", "a b") == 0.0
+
+
+def test_cheaptrick_envelope_tracks_harmonics():
+    """The CheapTrick envelope passes near the harmonic powers of a
+    synthetic periodic signal (the algorithm's core guarantee)."""
+    from seq2seq_vc_tpu.evaluate.signal import cheaptrick
+
+    fs, f0 = 16000, 200.0
+    t = np.arange(fs) / fs  # 1 s
+    # harmonics with a -6 dB/octave tilt
+    x = sum(
+        (1.0 / k) * np.sin(2 * np.pi * f0 * k * t) for k in range(1, 20)
+    ).astype(np.float64)
+    f0_track = np.full(int(1000 / 5), f0)  # 5 ms frames
+    sp = cheaptrick(x, f0_track, fs, fft_size=1024)
+    assert sp.shape == (200, 513)
+    assert np.all(np.isfinite(sp)) and np.all(sp > 0)
+
+    freq_axis = np.arange(513) * fs / 1024
+    mid = sp[50:150].mean(axis=0)
+    # envelope level at harmonic k should fall ~6 dB per doubling of k
+    lvl = [10 * np.log10(np.interp(f0 * k, freq_axis, mid)) for k in (1, 2, 4, 8)]
+    drops = np.diff(lvl)
+    assert all(-11.0 < d < -1.0 for d in drops), lvl
+    # and the envelope is smooth: no deep nulls between harmonics 1 and 2
+    between = 10 * np.log10(np.interp(f0 * 1.5, freq_axis, mid))
+    assert between > lvl[0] - 15.0
+
+
+def test_cheaptrick_unvoiced_frames_use_default_f0():
+    from seq2seq_vc_tpu.evaluate.signal import cheaptrick
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(8000)
+    sp = cheaptrick(x, np.zeros(50), 16000)
+    assert sp.shape == (50, 513)
+    assert np.all(np.isfinite(sp)) and np.all(sp > 0)
