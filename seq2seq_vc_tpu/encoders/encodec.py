@@ -117,6 +117,60 @@ class _LSTM(nn.Module):
         return x + resid
 
 
+class _CausalConvTranspose(nn.Module):
+    """torch ConvTranspose1d + causal trim (HF EncodecConvTranspose1d:
+    full transposed conv, then drop ``kernel - stride`` frames from the
+    right — trim_right_ratio = 1.0)."""
+
+    features: int
+    kernel: int
+    stride: int
+
+    @nn.compact
+    def __call__(self, x):  # (B, T, C)
+        in_ch = x.shape[-1]
+        w = self.param(
+            "kernel", nn.initializers.lecun_normal(), (self.kernel, in_ch, self.features)
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        # torch ConvTranspose == lhs-dilated conv with the kernel flipped
+        y = jax.lax.conv_general_dilated(
+            x, w[::-1],
+            window_strides=(1,),
+            padding=[(self.kernel - 1, self.kernel - 1)],
+            lhs_dilation=(self.stride,),
+            dimension_numbers=("NTC", "TIO", "NTC"),
+        ) + b
+        trim = self.kernel - self.stride
+        return y[:, : y.shape[1] - trim] if trim > 0 else y
+
+
+class EncodecDecoder(nn.Module):
+    """SEANet decoder: (B, T, 128) embeddings -> (B, T*320) 24 kHz wav.
+
+    The reference imports ``seq2seq_vc.vocoder.encodec.EnCodec_decoder``
+    (``bin/vc_train.py:40``) from a module that does not exist in the
+    snapshot — this native port makes the encodec vocoder path actually
+    work. Mirror of the encoder: Conv(128->512, k7) -> LSTM x2 ->
+    4x [ELU -> ConvTranspose(k=2r, s=r) -> ResnetBlock] with ratios
+    (8, 5, 4, 2) and channel halving -> ELU -> Conv(32->1, k7).
+    """
+
+    @nn.compact
+    def __call__(self, emb: jnp.ndarray) -> jnp.ndarray:
+        dim = NUM_FILTERS * 2 ** len(RATIOS)  # 512
+        x = _CausalConv(dim, KERNEL, name="conv_in")(emb)
+        x = _LSTM(dim, name="lstm")(x)
+        for i, ratio in enumerate(RATIOS):
+            x = nn.elu(x)
+            x = _CausalConvTranspose(dim // 2, 2 * ratio, ratio, name=f"up{i}")(x)
+            dim //= 2
+            x = _ResnetBlock(dim, name=f"res{i}")(x)
+        x = nn.elu(x)
+        x = _CausalConv(1, LAST_KERNEL, name="conv_out")(x)
+        return x[..., 0]  # (B, n_samples)
+
+
 class EncodecEncoder(nn.Module):
     """SEANet encoder; input (B, n_samples) 24 kHz mono in [-1, 1]."""
 
@@ -193,6 +247,57 @@ def convert_torch_encodec(state_dict: Dict[str, Any]) -> Dict[str, Any]:
         lstm[f"bih_l{layer}"] = jnp.asarray(sd[f"13.lstm.bias_ih_l{layer}"])
         lstm[f"bhh_l{layer}"] = jnp.asarray(sd[f"13.lstm.bias_hh_l{layer}"])
     params["lstm"] = lstm
+    params["conv_out"] = conv("15.conv")
+    return {"params": params}
+
+
+def convert_torch_encodec_decoder(state_dict: Dict[str, Any]) -> Dict[str, Any]:
+    """Torch EnCodec decoder weights -> flax params for ``EncodecDecoder``.
+
+    Accepts HF (``decoder.layers.N...``) or facebookresearch
+    (``decoder.model.N.conv.conv...``) naming.
+    """
+    sd = {}
+    for k, v in state_dict.items():
+        arr = v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+        k = k.replace("decoder.model.", "decoder.layers.")
+        k = k.replace(".conv.conv.", ".conv.").replace(".convtr.convtr.", ".conv.")
+        sd[k.replace("decoder.layers.", "")] = arr.astype(np.float32)
+
+    def conv(prefix):
+        k, b = _torch_conv(sd, prefix)
+        return {"Conv_0": {"kernel": jnp.asarray(k), "bias": jnp.asarray(b)}}
+
+    def convtr(prefix):
+        if f"{prefix}.parametrizations.weight.original0" in sd:
+            g = sd[f"{prefix}.parametrizations.weight.original0"]
+            v = sd[f"{prefix}.parametrizations.weight.original1"]
+            w = _fold_weight_norm(g, v)
+        elif f"{prefix}.weight_g" in sd:
+            w = _fold_weight_norm(sd[f"{prefix}.weight_g"], sd[f"{prefix}.weight_v"])
+        else:
+            w = sd[f"{prefix}.weight"]
+        # torch ConvTranspose1d (in, out, k) -> (k, in, out)
+        return {
+            "kernel": jnp.asarray(np.ascontiguousarray(np.transpose(w, (2, 0, 1)))),
+            "bias": jnp.asarray(sd[f"{prefix}.bias"]),
+        }
+
+    params: Dict[str, Any] = {"conv_in": conv("0.conv")}
+    lstm = {}
+    for layer in range(LSTM_LAYERS):
+        lstm[f"wih_l{layer}"] = jnp.asarray(sd[f"1.lstm.weight_ih_l{layer}"])
+        lstm[f"whh_l{layer}"] = jnp.asarray(sd[f"1.lstm.weight_hh_l{layer}"])
+        lstm[f"bih_l{layer}"] = jnp.asarray(sd[f"1.lstm.bias_ih_l{layer}"])
+        lstm[f"bhh_l{layer}"] = jnp.asarray(sd[f"1.lstm.bias_hh_l{layer}"])
+    params["lstm"] = lstm
+    for i in range(4):
+        params[f"up{i}"] = convtr(f"{3 * i + 3}.conv")
+        params[f"res{i}"] = {
+            "conv1": conv(f"{3 * i + 4}.block.1.conv"),
+            "conv2": conv(f"{3 * i + 4}.block.3.conv"),
+            "shortcut": conv(f"{3 * i + 4}.shortcut.conv"),
+        }
     params["conv_out"] = conv("15.conv")
     return {"params": params}
 

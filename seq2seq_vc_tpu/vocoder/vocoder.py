@@ -61,6 +61,28 @@ def get_vocoder(config: Dict[str, Any], trg_stats=None) -> Vocoder:
     otherwise)."""
     fs = config.get("sampling_rate", 16000)
     voc_cfg = config.get("vocoder") or {}
+    # vocoder_type dispatch (reference bin/vc_decode.py:230-258)
+    voc_type = voc_cfg.get("vocoder_type", "")
+    if voc_type == "encodec":
+        from .encodec_dec import EnCodec_decoder
+
+        return EnCodec_decoder(trg_stats, voc_cfg["checkpoint"])
+    if voc_type == "s3prl_vc":
+        from .s3prl_feat2wav import S3PRL_Feat2Wav
+
+        import yaml
+
+        with open(voc_cfg["config"]) as f:
+            ds_cfg = yaml.safe_load(f)
+        ds_stats = {
+            "mean": read_hdf5(voc_cfg["stats"], "mean"),
+            "scale": read_hdf5(voc_cfg["stats"], "scale"),
+        }
+        inner_cfg = dict(ds_cfg)
+        inner = get_vocoder(inner_cfg, trg_stats=None)
+        return S3PRL_Feat2Wav.from_checkpoint(
+            voc_cfg["checkpoint"], ds_cfg, ds_stats, trg_stats, inner
+        )
     if voc_cfg.get("checkpoint"):
         vocoder_stats = None
         if voc_cfg.get("stats"):

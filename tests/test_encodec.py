@@ -12,6 +12,10 @@ torch = pytest.importorskip("torch")
 transformers = pytest.importorskip("transformers")
 
 from seq2seq_vc_tpu.encoders import EncodecEncoder, convert_torch_encodec  # noqa: E402
+from seq2seq_vc_tpu.encoders.encodec import (  # noqa: E402
+    EncodecDecoder,
+    convert_torch_encodec_decoder,
+)
 
 
 @pytest.fixture(scope="module")
@@ -44,6 +48,37 @@ def test_frame_rate(torch_encodec):
     wav = np.zeros(24000 + 173, np.float32)
     out = model.apply(params, wav[None])
     assert out.shape[1] == int(np.ceil(len(wav) / 320))
+
+
+def test_decoder_parity(torch_encodec):
+    """Native SEANet decoder matches the torch decoder (the reference's
+    EnCodec_decoder import is broken — bin/vc_train.py:40 — so this path
+    exceeds reference parity)."""
+    rng = np.random.default_rng(1)
+    emb = rng.standard_normal((1, 30, 128)).astype(np.float32) * 0.1
+    with torch.no_grad():
+        ref = torch_encodec.decoder(torch.from_numpy(emb.transpose(0, 2, 1)))
+    ref = ref[0, 0].numpy()  # (n_samples,)
+
+    model = EncodecDecoder()
+    params = convert_torch_encodec_decoder(torch_encodec.state_dict())
+    out = np.asarray(model.apply(params, emb)[0])
+
+    assert out.shape == ref.shape == (30 * 320,)
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_encode_decode_roundtrip_shapes(torch_encodec):
+    enc = EncodecEncoder()
+    dec = EncodecDecoder()
+    p_enc = convert_torch_encodec(torch_encodec.state_dict())
+    p_dec = convert_torch_encodec_decoder(torch_encodec.state_dict())
+    wav = np.random.default_rng(2).standard_normal(3200).astype(np.float32) * 0.1
+    emb = enc.apply(p_enc, wav[None])
+    out = dec.apply(p_dec, emb)
+    assert emb.shape == (1, 10, 128)
+    assert out.shape == (1, 3200)
+    assert np.isfinite(np.asarray(out)).all()
 
 
 def test_preprocess_encodec_cli(torch_encodec, tmp_path, monkeypatch):
