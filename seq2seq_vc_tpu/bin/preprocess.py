@@ -113,11 +113,43 @@ def main():
 
         enc_model, enc_params = load_encodec(ckpt)
         encodec = (jax.jit(enc_model.apply), enc_params)
-    unsupported = [k for k in feat_list if k not in ("mel", "encodec")]
+    hubert = None
+    if "hubert" in feat_list:
+        # native flax HuBERT (urhythmic/hubert.py): PPG-style hidden-layer
+        # features (layer: N, 768-d) or soft units (feature: units, 256-d)
+        # at 50 Hz — the TPU-native stand-in for the reference's s3prl
+        # upstream+featurizer (bin/preprocess.py:184-196)
+        hcfg = feat_list["hubert"] or {}
+        ckpt = hcfg.get("checkpoint") or config.get("hubert_checkpoint")
+        if not ckpt:
+            raise ValueError(
+                "feat_list.hubert needs `checkpoint:` (a torch HuBERT "
+                "state_dict — HF transformers or bshall naming); this "
+                "image has no network access to auto-download one"
+            )
+        from ..urhythmic.hubert import load_hubert_soft
+
+        import jax
+
+        hub_model, hub_params = load_hubert_soft(ckpt)
+        layer = hcfg.get("layer")
+        use_units = hcfg.get("feature", "layer") == "units"
+        if use_units:
+            h_apply = jax.jit(
+                lambda p, w: hub_model.apply(p, w, method=type(hub_model).units)
+            )
+        else:
+            h_apply = jax.jit(
+                lambda p, w: hub_model.apply(
+                    p, w, layer, method=type(hub_model).encode
+                )
+            )
+        hubert = (h_apply, hub_params, use_units)
+    unsupported = [k for k in feat_list if k not in ("mel", "encodec", "hubert")]
     if unsupported:
         raise NotImplementedError(
             f"feature types {unsupported} need external encoders not present "
-            "in this image; supported here: 'mel', 'encodec'"
+            "in this image; supported here: 'mel', 'encodec', 'hubert'"
         )
     extractor = LogMelExtractor(
         sampling_rate=sr,
@@ -181,6 +213,16 @@ def main():
             padded = np.pad(wav24, (0, -len(wav24) % bucket))
             feat = np.asarray(apply_fn(enc_params, padded[None])[0], np.float32)
             write_hdf5(out, "encodec", feat[:n_frames])
+        if hubert is not None:
+            h_apply, hub_params, use_units = hubert
+            wav16 = resample(audio, sr, 16000)
+            # 20 ms hop, 25 ms window; units() pads 40 per side internally
+            eff = len(wav16) + (80 if use_units else 0)
+            n_frames = max((eff - 400) // 320 + 1, 1)
+            bucket = 320 * 16
+            padded = np.pad(wav16, (0, -len(wav16) % bucket))
+            feat = np.asarray(h_apply(hub_params, padded[None])[0], np.float32)
+            write_hdf5(out, "hubert", feat[:n_frames])
 
 
 if __name__ == "__main__":

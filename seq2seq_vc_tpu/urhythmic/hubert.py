@@ -113,8 +113,13 @@ class HubertSoft(nn.Module):
             "label_embedding", nn.initializers.normal(1.0), (N_CLUSTERS, SOFT_DIM)
         )
 
-    def encode(self, wav):
-        """wav (B, T) in [-1, 1] -> hidden states (B, N, 768)."""
+    def encode(self, wav, output_layer: Optional[int] = None):
+        """wav (B, T) in [-1, 1] -> hidden states (B, N, 768).
+
+        ``output_layer=k`` taps the k-th transformer layer's output
+        (1-based), the PPG-style feature used by s3prl-type upstreams
+        (reference ``bin/preprocess.py:184-196`` takes a featurizer over
+        upstream hidden states; here a single layer tap)."""
         h = self.feature_extractor(wav)
         h = self.fp_proj(self.fp_norm(h))
         pos = self.pos_conv(h)
@@ -124,8 +129,10 @@ class HubertSoft(nn.Module):
             pos = pos[:, :-1]
         h = h + nn.gelu(pos, approximate=False)
         h = self.enc_norm(h)
-        for layer in self.layers:
+        for i, layer in enumerate(self.layers):
             h = layer(h)
+            if output_layer is not None and i + 1 == output_layer:
+                return h
         return h
 
     def units(self, wav):

@@ -87,3 +87,68 @@ def test_load_checkpoint_and_encode(hf_pair, tmp_path):
     assert units.shape == (25, 256)
     assert log_probs.shape == (25, 100)
     assert np.isfinite(units).all() and np.isfinite(log_probs).all()
+
+
+def test_layer_tap_matches_transformers(hf_pair):
+    """encode(output_layer=k) equals the k-th hidden state of the torch
+    model (the PPG-style feature used by preprocess feat_type 'hubert')."""
+    tm, params = hf_pair
+    rng = np.random.default_rng(3)
+    wav = (0.1 * rng.standard_normal((1, 4000))).astype(np.float32)
+    with torch.inference_mode():
+        hs = tm(torch.from_numpy(wav), output_hidden_states=True).hidden_states
+    model = HubertSoft()
+    for k in (3, 9):
+        got = np.asarray(
+            model.apply(params, np.asarray(wav), k, method=HubertSoft.encode)
+        )
+        np.testing.assert_allclose(got, hs[k].numpy(), atol=2e-4, rtol=1e-3)
+
+
+def test_preprocess_hubert_feat(hf_pair, tmp_path, monkeypatch):
+    """bin/preprocess extracts a layer-tapped `hubert` dataset."""
+    import sys
+
+    import h5py
+    import yaml
+
+    from seq2seq_vc_tpu.bin import preprocess as preprocess_bin
+    from seq2seq_vc_tpu.utils.audio import write_wav
+
+    tm, _ = hf_pair
+    ckpt = tmp_path / "hubert_random.pt"
+    torch.save(tm.state_dict(), ckpt)
+
+    sr = 16000
+    t = np.arange(sr // 2) / sr
+    wav = (0.3 * np.sin(2 * np.pi * 180 * t)).astype(np.float32)
+    write_wav(str(tmp_path / "utt1.wav"), wav, sr)
+    (tmp_path / "wav.scp").write_text(f"utt1 {tmp_path}/utt1.wav\n")
+
+    conf = {
+        "sampling_rate": sr, "fft_size": 1024, "hop_size": 256,
+        "win_length": None, "window": "hann", "num_mels": 80,
+        "fmin": 80, "fmax": 7600, "global_gain_scale": 1.0,
+        "trim_silence": False, "format": "hdf5",
+        "feat_list": {
+            "mel": {},
+            "hubert": {"checkpoint": str(ckpt), "layer": 6},
+        },
+    }
+    (tmp_path / "conf.yaml").write_text(yaml.safe_dump(conf))
+    monkeypatch.setattr(
+        sys, "argv",
+        [
+            "preprocess",
+            "--wav-scp", str(tmp_path / "wav.scp"),
+            "--dumpdir", str(tmp_path / "dump"),
+            "--config", str(tmp_path / "conf.yaml"),
+        ],
+    )
+    preprocess_bin.main()
+    with h5py.File(tmp_path / "dump" / "utt1.h5", "r") as f:
+        feat = f["hubert"][()]
+    # 50 Hz, 768-d hidden features
+    assert feat.shape[1] == 768
+    assert abs(feat.shape[0] - 25) <= 2
+    assert np.isfinite(feat).all()
