@@ -178,15 +178,26 @@ def acf_f0(
     f0max: float,
     shift_ms: float = MCEP_SHIFT,
     voicing_threshold: float = 0.45,
+    n_candidates: int = 5,
+    transition_cost: float = 0.35,
 ) -> np.ndarray:
-    """Autocorrelation pitch track (harvest stand-in): (T,) Hz, 0=unvoiced."""
+    """RAPT-style autocorrelation pitch track (harvest stand-in).
+
+    Per frame: the top-N normalized-ACF peaks (with parabolic sub-sample
+    interpolation) are pitch candidates; a Viterbi pass over candidates with
+    an octave-jump transition cost picks the contour, which removes the
+    octave errors a greedy per-frame argmax makes. Returns (T,) Hz with
+    0 = unvoiced (low ACF peak or power gate).
+    """
     hop = int(fs * shift_ms / 1000)
     win = int(fs * 0.04)  # 40 ms analysis window
     lag_min = max(int(fs / f0max), 2)
-    lag_max = min(int(fs / f0min), win - 1)
+    lag_max = min(int(np.ceil(fs / f0min)), win - 2)
     n = max(1 + (len(x) - win) // hop, 1)
     xpad = np.pad(x, (0, max(0, win + n * hop - len(x))))
-    f0 = np.zeros(n)
+
+    cand_f0 = np.zeros((n, n_candidates))
+    cand_score = np.full((n, n_candidates), -1.0)
     frame_pow = np.zeros(n)
     for t in range(n):
         fr = xpad[t * hop : t * hop + win]
@@ -196,12 +207,43 @@ def acf_f0(
         if ac[0] <= 0:
             continue
         ac = ac / ac[0]
-        seg = ac[lag_min : lag_max + 1]
-        if len(seg) == 0:
-            continue
-        k = int(np.argmax(seg)) + lag_min
-        if ac[k] > voicing_threshold:
-            f0[t] = fs / k
+        seg = ac[: lag_max + 2]
+        # local maxima in the allowed lag range
+        peaks = [
+            k for k in range(lag_min, lag_max + 1)
+            if seg[k] >= seg[k - 1] and seg[k] >= seg[k + 1]
+        ]
+        peaks.sort(key=lambda k: -seg[k])
+        for j, k in enumerate(peaks[:n_candidates]):
+            # parabolic interpolation around the peak for sub-sample lag
+            denom = seg[k - 1] - 2 * seg[k] + seg[k + 1]
+            delta = 0.5 * (seg[k - 1] - seg[k + 1]) / denom if denom != 0 else 0.0
+            lag = k + np.clip(delta, -0.5, 0.5)
+            cand_f0[t, j] = fs / lag
+            cand_score[t, j] = seg[k]
+
+    # Viterbi over candidates: emission = ACF peak height, transition
+    # penalizes |log2(f0_a / f0_b)| (octave jumps cost ~transition_cost)
+    best = np.zeros(n, dtype=np.int64)
+    back = np.zeros((n, n_candidates), dtype=np.int64)
+    score = np.where(cand_score[0] >= 0, cand_score[0], -1e9)
+    for t in range(1, n):
+        emit = np.where(cand_score[t] >= 0, cand_score[t], -1e9)
+        fa = np.maximum(cand_f0[t - 1], 1e-6)[:, None]
+        fb = np.maximum(cand_f0[t], 1e-6)[None, :]
+        trans = transition_cost * np.abs(np.log2(fb / fa))
+        total = score[:, None] - trans  # (prev, cur)
+        back[t] = np.argmax(total, axis=0)
+        score = total[back[t], np.arange(n_candidates)] + emit
+    best_last = int(np.argmax(score))
+    path = np.zeros(n, dtype=np.int64)
+    path[-1] = best_last
+    for t in range(n - 1, 0, -1):
+        path[t - 1] = back[t, path[t]]
+    f0 = cand_f0[np.arange(n), path]
+    peak = cand_score[np.arange(n), path]
+
+    f0[peak < voicing_threshold] = 0.0
     # power gate: silence is unvoiced
     pow_db = 10 * np.log10(np.maximum(frame_pow, 1e-12))
     f0[pow_db < pow_db.max() - 40] = 0.0

@@ -88,6 +88,14 @@ class VTN(nn.Module):
     conformer_dec_kernel_size: int = 31
     init_type: str = "xavier_uniform"  # accepted for config parity
     attention_backend: str = "xla"  # 'flash': Pallas kernel in the encoder
+    # mixed precision: 'bfloat16' runs encoder/decoder stacks (incl. the AR
+    # decode step + KV caches) with a bf16 residual stream; params, LN
+    # statistics, attention scores/softmax and losses stay fp32.
+    compute_dtype: str = "float32"
+
+    @property
+    def _dtype(self):
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
 
     def setup(self):
         if self.encoder_type == "transformer":
@@ -108,6 +116,7 @@ class VTN(nn.Module):
                 attention_dropout_rate=self.transformer_enc_attn_dropout_rate,
                 init_enc_alpha=self.initial_encoder_alpha,
                 attention_backend=self.attention_backend,
+                dtype=self._dtype,
             )
         elif self.encoder_type == "conformer":
             pos_enc, self_attn = _resolve_conformer_types(
@@ -135,6 +144,7 @@ class VTN(nn.Module):
                 use_cnn_module=self.use_cnn_in_conformer,
                 cnn_module_kernel=self.conformer_enc_kernel_size,
                 zero_triu=self.zero_triu,
+                dtype=self._dtype,
             )
         else:
             raise NotImplementedError(self.encoder_type)
@@ -166,6 +176,7 @@ class VTN(nn.Module):
             normalize_before=self.decoder_normalize_before,
             concat_after=self.decoder_concat_after,
             init_dec_alpha=self.initial_decoder_alpha,
+            dtype=self._dtype,
         )
 
         r = self.decoder_reduction_factor

@@ -653,6 +653,8 @@ class Decoder(nn.Module):
         if self.pos_enc_type not in ("scaled", "abs"):
             raise ValueError(f"step() unsupported pos_enc_type {self.pos_enc_type}")
         x = self.pos_enc.encode_at(y_t, t, cache["k"].shape[3])
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
 
         new_k, new_v, cross_ws = [], [], []
         for i, layer in enumerate(self.layers):
@@ -665,5 +667,6 @@ class Decoder(nn.Module):
             cross_ws.append(cw)
         if self.normalize_before:
             x = self.after_norm(x)
+        x = x.astype(jnp.float32)
         new_cache = {"k": jnp.stack(new_k), "v": jnp.stack(new_v)}
         return x[:, 0], new_cache, jnp.stack(cross_ws)

@@ -260,6 +260,22 @@ class Trainer:
                     self.writer.add_scalar(key, avg, self.steps)
             if self.writer:
                 self.writer.add_scalar("train/step_time_sec", avg_t, self.steps)
+            # device memory telemetry (reference logs CUDA peak memory per
+            # interval, trainers/base.py:215-217)
+            try:
+                mem = jax.local_devices()[0].memory_stats() or {}
+                peak = mem.get("peak_bytes_in_use")
+                if peak:
+                    logging.info(
+                        "(steps: %d) device peak memory = %.1f MiB.",
+                        self.steps, peak / 2**20,
+                    )
+                    if self.writer:
+                        self.writer.add_scalar(
+                            "train/peak_memory_mib", peak / 2**20, self.steps
+                        )
+            except Exception:  # pragma: no cover - not all backends report
+                pass
             if self._last_cost_key is not None and avg_t > 0:
                 flops, hbm_bytes = self._step_costs[self._last_cost_key]
                 if flops:

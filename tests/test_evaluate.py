@@ -139,3 +139,35 @@ def test_cheaptrick_unvoiced_frames_use_default_f0():
     sp = cheaptrick(x, np.zeros(50), 16000)
     assert sp.shape == (50, 513)
     assert np.all(np.isfinite(sp)) and np.all(sp > 0)
+
+
+def test_acf_f0_viterbi_suppresses_octave_jumps():
+    """A harmonic signal with a weak fundamental tempts per-frame argmax
+    into octave errors; the Viterbi contour stays on the true F0."""
+    fs, f0 = 16000, 150.0
+    t = np.arange(2 * fs) / fs
+    # strong 2nd/3rd harmonics, weak fundamental
+    x = (
+        0.15 * np.sin(2 * np.pi * f0 * t)
+        + 1.0 * np.sin(2 * np.pi * 2 * f0 * t)
+        + 0.8 * np.sin(2 * np.pi * 3 * f0 * t)
+    )
+    track = acf_f0(x, fs, 70, 400)
+    voiced = track[track > 0]
+    assert len(voiced) > 0.8 * len(track)
+    # median on target and no gross octave spread
+    assert abs(np.median(voiced) - f0) < 3.0
+    assert np.percentile(np.abs(voiced - f0), 95) < 10.0
+
+
+def test_acf_f0_subsample_accuracy():
+    """Parabolic lag interpolation: non-integer-period tones resolve to
+    well under one lag-quantization step."""
+    fs = 16000
+    for f0 in (173.3, 221.7, 318.4):
+        t = np.arange(fs) / fs
+        x = np.sin(2 * np.pi * f0 * t)
+        track = acf_f0(x, fs, 70, 400)
+        voiced = track[track > 0]
+        # integer-lag quantization at 221.7 Hz is ~3 Hz; demand much better
+        assert abs(np.median(voiced) - f0) < 1.0, (f0, np.median(voiced))
