@@ -5,10 +5,9 @@ pyworld/pysptk — not in this image): STFT power spectral envelope at a 5 ms
 shift, mel-cepstral analysis via real cepstrum + SPTK ``freqt`` frequency
 warping (all-pass alpha), normalized power (npow) VAD, and autocorrelation
 F0. If pyworld/pysptk ARE importable, ``world_extract`` uses them for exact
-parity with the reference; otherwise the native chain is used (documented
-deviation: cheaptrick/harvest replaced by STFT envelope + ACF pitch; MCD
-trends track the reference since both operands go through the same
-analysis).
+parity with the reference; otherwise the native chain is used: the
+CheapTrick port below plus the Harvest port in ``evaluate/harvest.py``
+(``acf_f0`` remains as a lighter RAPT-style alternative).
 """
 
 from __future__ import annotations
@@ -265,9 +264,14 @@ def world_extract(x: np.ndarray, fs: int, f0min: float, f0max: float) -> Dict[st
         sp = pw.cheaptrick(x, f0, time_axis, fs, fft_size=MCEP_FFTL)
         mcep = pysptk.sp2mc(sp, MCEP_DIM, MCEP_ALPHA)
     except ImportError:
-        # native chain: ACF pitch (harvest stand-in) + faithful CheapTrick
-        # port (same windowing/smoothing/liftering as pyworld.cheaptrick)
-        f0 = acf_f0(x / np.iinfo(np.int16).max, fs, f0min, f0max)
+        # native chain: Harvest port (evaluate/harvest.py) + faithful
+        # CheapTrick port (same windowing/smoothing/liftering as
+        # pyworld.cheaptrick)
+        from .harvest import harvest_f0
+
+        f0 = harvest_f0(
+            x / np.iinfo(np.int16).max, fs, f0min, f0max, MCEP_SHIFT
+        )
         sp = cheaptrick(x, f0, fs, MCEP_FFTL, MCEP_SHIFT)
         mcep = sp2mc(sp, MCEP_DIM, MCEP_ALPHA)
         L = min(len(f0), len(sp))

@@ -13,7 +13,9 @@ from __future__ import annotations
 from typing import Any, Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.attention import scaled_dot_attention
 
@@ -80,7 +82,6 @@ class MultiHeadedAttention(nn.Module):
         if (
             self.backend == "flash"
             and not return_weights
-            and (deterministic or self.dropout_rate == 0.0)
             and (mask is None or mask.ndim == 2 or (mask.ndim == 3 and mask.shape[1] == 1))
         ):
             from ..ops.flash_attention import flash_attention
@@ -89,7 +90,18 @@ class MultiHeadedAttention(nn.Module):
             if mask is not None:
                 m2 = mask if mask.ndim == 2 else mask[:, 0, :]
                 kv_lens = m2.sum(-1).astype(jnp.int32)  # prefix-true padding mask
-            out = flash_attention(q, k, v, kv_lens=kv_lens)
+            rate = 0.0 if deterministic else float(self.dropout_rate)
+            seed = None
+            if rate > 0.0:
+                # in-kernel dropout: the Pallas kernel derives the mask from
+                # this seed (see ops/flash_attention.py), fwd == bwd
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (1,), 0, np.iinfo(np.int32).max,
+                    dtype=jnp.int32,
+                )
+            out = flash_attention(
+                q, k, v, kv_lens=kv_lens, dropout_rate=rate, dropout_seed=seed
+            )
             return self.linear_out(_merge_heads(out))
         out, w = scaled_dot_attention(q, k, v, mask=_expand_mask(mask), return_weights=True)
         if not deterministic and self.dropout_rate > 0.0:
@@ -189,7 +201,6 @@ class RelPositionMultiHeadedAttention(nn.Module):
             self.backend == "flash"
             and not self.zero_triu
             and not return_weights
-            and (deterministic or self.dropout_rate == 0.0)
             and (mask is None or mask.ndim == 2 or (mask.ndim == 3 and mask.shape[1] == 1))
         ):
             from ..ops.flash_attention import rel_flash_attention
@@ -198,8 +209,16 @@ class RelPositionMultiHeadedAttention(nn.Module):
             if mask is not None:
                 m2 = mask if mask.ndim == 2 else mask[:, 0, :]
                 kv_lens = m2.sum(-1).astype(jnp.int32)
+            rate = 0.0 if deterministic else float(self.dropout_rate)
+            seed = None
+            if rate > 0.0:
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (1,), 0, np.iinfo(np.int32).max,
+                    dtype=jnp.int32,
+                )
             out = rel_flash_attention(
-                q_u, q_v, k, v, p[0], kv_lens=kv_lens, legacy=self.legacy
+                q_u, q_v, k, v, p[0], kv_lens=kv_lens, legacy=self.legacy,
+                dropout_rate=rate, dropout_seed=seed,
             )
             return nn.Dense(self.n_feat, dtype=self.dtype, name="linear_out")(
                 _merge_heads(out)

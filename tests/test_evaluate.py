@@ -171,3 +171,62 @@ def test_acf_f0_subsample_accuracy():
         voiced = track[track > 0]
         # integer-lag quantization at 221.7 Hz is ~3 Hz; demand much better
         assert abs(np.median(voiced) - f0) < 1.0, (f0, np.median(voiced))
+
+
+def _harmonic(f0_track, fs, n_harm=8, decay=0.7):
+    phase = 2 * np.pi * np.cumsum(f0_track) / fs
+    x = sum((decay ** k) * np.sin((k + 1) * phase) for k in range(n_harm))
+    return x / np.abs(x).max()
+
+
+def test_harvest_tracks_steady_tone():
+    from seq2seq_vc_tpu.evaluate.harvest import harvest_f0
+
+    fs = 16000
+    x = _harmonic(np.full(fs, 150.0), fs)
+    f0 = harvest_f0(x, fs, 71, 800, 5)
+    inner = f0[5:-5]
+    v = inner > 0
+    assert v.mean() > 0.95
+    assert np.abs(inner[v] - 150.0).max() < 1.0
+
+
+def test_harvest_tracks_vibrato_and_chirp():
+    from seq2seq_vc_tpu.evaluate.harvest import harvest_f0
+
+    fs = 16000
+    tt = np.arange(fs) / fs
+    for truth in (
+        200 + 20 * np.sin(2 * np.pi * 5 * tt),
+        np.linspace(100, 300, fs),
+    ):
+        x = _harmonic(truth, fs)
+        f0 = harvest_f0(x, fs, 71, 800, 5)
+        ft = np.interp(np.arange(len(f0)) * 0.005, tt, truth)
+        sel = slice(5, len(f0) - 5)
+        v = f0[sel] > 0
+        assert v.mean() > 0.9
+        assert np.abs(f0[sel][v] - ft[sel][v]).max() < 3.0
+
+
+def test_harvest_unvoiced_on_noise_and_silence():
+    from seq2seq_vc_tpu.evaluate.harvest import harvest_f0
+
+    fs = 16000
+    rng = np.random.default_rng(0)
+    assert (harvest_f0(0.1 * rng.standard_normal(fs), fs) > 0).mean() < 0.1
+    assert (harvest_f0(np.zeros(fs), fs) > 0).sum() == 0
+
+
+def test_harvest_segment_voicing_boundaries():
+    """A voiced island inside silence: voiced inside, unvoiced outside."""
+    from seq2seq_vc_tpu.evaluate.harvest import harvest_f0
+
+    fs = 16000
+    x = np.zeros(fs)
+    x[int(0.3 * fs):int(0.7 * fs)] = _harmonic(np.full(int(0.4 * fs), 90.0), fs)
+    f0 = harvest_f0(x, fs, 71, 800, 5)
+    mid = f0[70:130]
+    assert (mid > 0).mean() > 0.95
+    assert np.abs(mid[mid > 0] - 90.0).max() < 1.0
+    assert (f0[:50] > 0).mean() < 0.1

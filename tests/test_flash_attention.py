@@ -179,3 +179,233 @@ def test_legacy_rel_flash_module_parity():
     np.testing.assert_allclose(
         np.asarray(of)[valid], np.asarray(ox)[valid], atol=5e-5
     )
+
+
+# ---------------------------------------------------------------------------
+# backward pass (custom VJP) and in-kernel dropout
+# ---------------------------------------------------------------------------
+
+
+def _loss_weights(rng, shape, lens):
+    """Random cotangent, zeroed on padded query rows."""
+    B, H, T, D = shape
+    w = rng.standard_normal(shape).astype(np.float32)
+    w *= (np.arange(T)[None, :] < np.asarray(lens)[:, None])[:, None, :, None]
+    return jnp.asarray(w)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_grads_match_xla(causal):
+    """custom-VJP backward vs autodiff through the dense path."""
+    import jax
+
+    rng = np.random.default_rng(21)
+    B, H, T, D = 2, 2, 48, 32
+    q, k, v = (jnp.asarray(rng.standard_normal((B, H, T, D)).astype(np.float32))
+               for _ in range(3))
+    lens = np.array([48, 31], np.int32)
+    wm = _loss_weights(rng, (B, H, T, D), lens)
+
+    def dense(q, k, v):
+        mask = (jnp.arange(T)[None, :] < jnp.asarray(lens)[:, None])[:, None, None, :]
+        if causal:
+            mask = mask & (jnp.arange(T)[None, None, :, None]
+                           >= jnp.arange(T)[None, None, None, :])
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(D)
+        s = jnp.where(mask, s, -1e30)
+        p = jax.nn.softmax(s, -1)
+        p = jnp.where(mask, p, 0.0)
+        return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+
+    g_flash = jax.grad(
+        lambda q, k, v: (flash_attention(
+            q, k, v, kv_lens=jnp.asarray(lens), causal=causal,
+            block_q=16, block_kv=16, interpret=True) * wm).sum(),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    g_dense = jax.grad(
+        lambda q, k, v: (dense(q, k, v) * wm).sum(), argnums=(0, 1, 2)
+    )(q, k, v)
+    for a, b in zip(g_flash, g_dense):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_flash_dropout_matches_oracle():
+    """In-kernel dropout == dense attention masked with the hash oracle
+    (same seed), for both the forward value and all input grads."""
+    import jax
+
+    from seq2seq_vc_tpu.ops.flash_attention import dense_dropout_keep
+
+    rng = np.random.default_rng(5)
+    B, H, T, D, rate = 2, 2, 32, 16, 0.3
+    q, k, v = (jnp.asarray(rng.standard_normal((B, H, T, D)).astype(np.float32))
+               for _ in range(3))
+    lens = np.array([32, 23], np.int32)
+    seed = jnp.asarray([1234], jnp.int32)
+    keep = dense_dropout_keep(1234, B * H, T, T, rate).reshape(B, H, T, T)
+    wm = _loss_weights(rng, (B, H, T, D), lens)
+
+    def dense(q, k, v):
+        mask = (jnp.arange(T)[None, :] < jnp.asarray(lens)[:, None])[:, None, None, :]
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(D)
+        s = jnp.where(mask, s, -1e30)
+        import jax as _jax
+        p = _jax.nn.softmax(s, -1)
+        p = jnp.where(mask, p, 0.0)
+        p = jnp.where(keep, p / (1 - rate), 0.0)
+        return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+
+    def flash(q, k, v):
+        return flash_attention(
+            q, k, v, kv_lens=jnp.asarray(lens), block_q=32, block_kv=32,
+            interpret=True, dropout_rate=rate, dropout_seed=seed,
+        )
+
+    np.testing.assert_allclose(
+        np.asarray(flash(q, k, v)), np.asarray(dense(q, k, v)), atol=2e-5
+    )
+    g1 = jax.grad(lambda *a: (flash(*a) * wm).sum(), argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(lambda *a: (dense(*a) * wm).sum(), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_flash_dropout_deterministic_per_seed():
+    rng = np.random.default_rng(6)
+    B, H, T, D = 1, 2, 32, 16
+    q, k, v = (jnp.asarray(rng.standard_normal((B, H, T, D)).astype(np.float32))
+               for _ in range(3))
+    kw = dict(block_q=32, block_kv=32, interpret=True, dropout_rate=0.5)
+    o1 = flash_attention(q, k, v, dropout_seed=jnp.asarray([7], jnp.int32), **kw)
+    o2 = flash_attention(q, k, v, dropout_seed=jnp.asarray([7], jnp.int32), **kw)
+    o3 = flash_attention(q, k, v, dropout_seed=jnp.asarray([8], jnp.int32), **kw)
+    assert np.array_equal(np.asarray(o1), np.asarray(o2))
+    assert np.abs(np.asarray(o1) - np.asarray(o3)).max() > 1e-3
+
+
+@pytest.mark.parametrize("legacy", [False, True])
+def test_rel_flash_grads_match_xla(legacy):
+    """Rel-pos custom VJP (incl. the diagonal-reduced table grad) vs dense."""
+    import jax
+
+    from seq2seq_vc_tpu.nn.attention import rel_shift
+    from seq2seq_vc_tpu.ops.flash_attention import rel_flash_attention
+
+    rng = np.random.default_rng(31)
+    B, H, T, D = 2, 2, 40, 16  # T not a block multiple: exercises padding
+    qu, qv, k, v = (jnp.asarray(rng.standard_normal((B, H, T, D)).astype(np.float32))
+                    for _ in range(4))
+    npos = T if legacy else 2 * T - 1
+    pos = jnp.asarray(rng.standard_normal((H, npos, D)).astype(np.float32))
+    lens = np.array([40, 27], np.int32)
+    wm = _loss_weights(rng, (B, H, T, D), lens)
+
+    def dense(qu, qv, k, v, pos):
+        ac = jnp.einsum("bhqd,bhkd->bhqk", qu, k)
+        bd = rel_shift(jnp.einsum("bhqd,hpd->bhqp", qv, pos), legacy=legacy)
+        s = (ac + bd) / np.sqrt(D)
+        mask = (jnp.arange(T)[None, :] < jnp.asarray(lens)[:, None])[:, None, None, :]
+        s = jnp.where(mask, s, -1e30)
+        p = jax.nn.softmax(s, -1)
+        p = jnp.where(mask, p, 0.0)
+        return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+
+    g1 = jax.grad(
+        lambda *a: (rel_flash_attention(
+            *a, kv_lens=jnp.asarray(lens), block=16, interpret=True,
+            legacy=legacy) * wm).sum(),
+        argnums=(0, 1, 2, 3, 4),
+    )(qu, qv, k, v, pos)
+    g2 = jax.grad(
+        lambda *a: (dense(*a) * wm).sum(), argnums=(0, 1, 2, 3, 4)
+    )(qu, qv, k, v, pos)
+    for a, b, name in zip(g1, g2, ["qu", "qv", "k", "v", "pos"]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-4, err_msg=f"d{name}"
+        )
+
+
+@pytest.mark.parametrize("legacy", [False, True])
+def test_rel_flash_dropout_grads_match_oracle(legacy):
+    import jax
+
+    from seq2seq_vc_tpu.nn.attention import rel_shift
+    from seq2seq_vc_tpu.ops.flash_attention import (
+        dense_dropout_keep, rel_flash_attention)
+
+    rng = np.random.default_rng(41)
+    B, H, T, D, rate = 2, 2, 32, 16, 0.2
+    qu, qv, k, v = (jnp.asarray(rng.standard_normal((B, H, T, D)).astype(np.float32))
+                    for _ in range(4))
+    npos = T if legacy else 2 * T - 1
+    pos = jnp.asarray(rng.standard_normal((H, npos, D)).astype(np.float32))
+    lens = np.array([32, 25], np.int32)
+    seed = jnp.asarray([77], jnp.int32)
+    keep = dense_dropout_keep(77, B * H, T, T, rate).reshape(B, H, T, T)
+    wm = _loss_weights(rng, (B, H, T, D), lens)
+
+    def dense(qu, qv, k, v, pos):
+        ac = jnp.einsum("bhqd,bhkd->bhqk", qu, k)
+        bd = rel_shift(jnp.einsum("bhqd,hpd->bhqp", qv, pos), legacy=legacy)
+        s = (ac + bd) / np.sqrt(D)
+        mask = (jnp.arange(T)[None, :] < jnp.asarray(lens)[:, None])[:, None, None, :]
+        s = jnp.where(mask, s, -1e30)
+        p = jax.nn.softmax(s, -1)
+        p = jnp.where(mask, p, 0.0)
+        p = jnp.where(keep, p / (1 - rate), 0.0)
+        return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+
+    def flash(qu, qv, k, v, pos):
+        return rel_flash_attention(
+            qu, qv, k, v, pos, kv_lens=jnp.asarray(lens), block=32,
+            interpret=True, legacy=legacy, dropout_rate=rate,
+            dropout_seed=seed,
+        )
+
+    np.testing.assert_allclose(
+        np.asarray(flash(qu, qv, k, v, pos) * wm),
+        np.asarray(dense(qu, qv, k, v, pos) * wm),
+        atol=2e-5,
+    )
+    g1 = jax.grad(lambda *a: (flash(*a) * wm).sum(), argnums=(0, 1, 2, 3, 4))(
+        qu, qv, k, v, pos)
+    g2 = jax.grad(lambda *a: (dense(*a) * wm).sum(), argnums=(0, 1, 2, 3, 4))(
+        qu, qv, k, v, pos)
+    for a, b, name in zip(g1, g2, ["qu", "qv", "k", "v", "pos"]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-4, err_msg=f"d{name}"
+        )
+
+
+def test_rel_attention_module_trains_with_flash_dropout():
+    """Module-level: flash backend + attention dropout 0.2 takes grads."""
+    import jax
+
+    from seq2seq_vc_tpu.nn.attention import RelPositionMultiHeadedAttention
+
+    rng = np.random.default_rng(8)
+    B, T, F, Hh = 2, 32, 32, 2
+    x = jnp.asarray(rng.standard_normal((B, T, F)).astype(np.float32))
+    pos = jnp.asarray(rng.standard_normal((1, 2 * T - 1, F)).astype(np.float32))
+    mask = jnp.asarray(np.arange(T)[None, :] < np.array([T, T - 9])[:, None])
+
+    mod = RelPositionMultiHeadedAttention(Hh, F, 0.2, backend="flash")
+    params = mod.init(jax.random.PRNGKey(0), x, x, x, pos, mask)
+
+    def loss(p, key):
+        out = mod.apply(
+            p, x, x, x, pos, mask, deterministic=False,
+            rngs={"dropout": key},
+        )
+        return (out ** 2).sum()
+
+    l1, g = jax.value_and_grad(loss)(params, jax.random.PRNGKey(1))
+    assert np.isfinite(float(l1))
+    flat = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(t)).all() for t in flat)
+    # same rng -> identical loss; different rng -> different dropout mask
+    l2 = loss(params, jax.random.PRNGKey(1))
+    l3 = loss(params, jax.random.PRNGKey(2))
+    assert float(l1) == float(l2)
+    assert float(l1) != float(l3)
