@@ -19,6 +19,21 @@ import numpy as np
 
 from ..ops.attention import scaled_dot_attention
 
+# Training-path flash dispatch threshold (key length), env-overridable for
+# experiments (S2S_FLASH_TRAIN_MIN_LEN). Measured on v5e
+# (scripts/profile_train.py, bf16): at T=512 the full AAS-VC step is
+# 82.8 ms with XLA attention vs 111.6 ms with the flash fwd+bwd kernels,
+# and at T=1024 103 ms vs 158 ms — XLA's fused dense attention wins while
+# the score matrices still fit comfortably in HBM, because the FA2-style
+# backward recompute trades ~2x matmul FLOPs for bandwidth the step
+# doesn't need at these sizes. The flash path becomes the right choice
+# when the (B, H, T, T) score/bd tensors approach HBM limits, so training
+# only routes to it for long sequences; inference (deterministic) always
+# uses it — the NAR decode bench is fastest through the flash kernels.
+import os as _os
+
+FLASH_TRAIN_MIN_LEN = int(_os.environ.get("S2S_FLASH_TRAIN_MIN_LEN", "3072"))
+
 
 def _split_heads(x: jnp.ndarray, n_head: int) -> jnp.ndarray:
     b, t, d = x.shape
@@ -55,6 +70,9 @@ class MultiHeadedAttention(nn.Module):
     # computation dtype for the projections and the AV matmul; scores and
     # softmax always accumulate in fp32 (params stay fp32 regardless)
     dtype: Any = None
+    # min key length for the flash path in TRAINING (non-deterministic)
+    # calls; see FLASH_TRAIN_MIN_LEN for the measurement behind the default
+    flash_train_min_len: int = FLASH_TRAIN_MIN_LEN
 
     def setup(self):
         self.linear_q = nn.Dense(self.n_feat, dtype=self.dtype)
@@ -82,6 +100,7 @@ class MultiHeadedAttention(nn.Module):
         if (
             self.backend == "flash"
             and not return_weights
+            and (deterministic or key.shape[1] >= self.flash_train_min_len)
             and (mask is None or mask.ndim == 2 or (mask.ndim == 3 and mask.shape[1] == 1))
         ):
             from ..ops.flash_attention import flash_attention
@@ -156,8 +175,9 @@ class RelPositionMultiHeadedAttention(nn.Module):
     dropout_rate: float = 0.0
     zero_triu: bool = False
     legacy: bool = False
-    backend: str = "xla"  # 'flash' uses the Pallas rel-pos kernel (new-style only)
+    backend: str = "xla"  # 'flash' uses the Pallas rel-pos kernel
     dtype: Any = None  # computation dtype; scores/softmax stay fp32
+    flash_train_min_len: int = FLASH_TRAIN_MIN_LEN  # see FLASH_TRAIN_MIN_LEN
 
     @nn.compact
     def __call__(
@@ -201,6 +221,7 @@ class RelPositionMultiHeadedAttention(nn.Module):
             self.backend == "flash"
             and not self.zero_triu
             and not return_weights
+            and (deterministic or key.shape[1] >= self.flash_train_min_len)
             and (mask is None or mask.ndim == 2 or (mask.ndim == 3 and mask.shape[1] == 1))
         ):
             from ..ops.flash_attention import rel_flash_attention

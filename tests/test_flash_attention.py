@@ -390,7 +390,7 @@ def test_rel_attention_module_trains_with_flash_dropout():
     pos = jnp.asarray(rng.standard_normal((1, 2 * T - 1, F)).astype(np.float32))
     mask = jnp.asarray(np.arange(T)[None, :] < np.array([T, T - 9])[:, None])
 
-    mod = RelPositionMultiHeadedAttention(Hh, F, 0.2, backend="flash")
+    mod = RelPositionMultiHeadedAttention(Hh, F, 0.2, backend="flash", flash_train_min_len=0)
     params = mod.init(jax.random.PRNGKey(0), x, x, x, pos, mask)
 
     def loss(p, key):
