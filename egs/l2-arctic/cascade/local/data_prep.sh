@@ -30,3 +30,13 @@ head -n "$num_train" "$out/wav.scp" > "$out/train_wav.scp"
 tail -n +"$((num_train + 1))" "$out/wav.scp" | head -n "$num_dev" > "$out/dev_wav.scp"
 tail -n +"$((num_train + num_dev + 1))" "$out/wav.scp" | head -n "$num_eval" > "$out/eval_wav.scp"
 echo "$spk: $total utts -> $num_train/$num_dev/$num_eval (train/dev/eval)"
+
+# L2-ARCTIC ships MFA TextGrid annotations; when present, derive a kaldi
+# segments file (silence trim) for bin/preprocess --segments, mirroring the
+# reference data_prep's utils/parse_textgrid.py step.
+tgdir=$db_root/textgrid
+[ -d "$tgdir" ] || tgdir=$db_root/annotation
+if [ -d "$tgdir" ]; then
+  python3 "$repo_root/utils/parse_textgrid.py" \
+    --textgrid_dir "$tgdir" --output "$out/segments"
+fi

@@ -130,3 +130,49 @@ def test_build_tokenizer_word():
     tok = build_tokenizer("word")
     assert isinstance(tok, WordTokenizer)
     assert tok.text2tokens("a b c") == ["a", "b", "c"]
+
+
+def test_parse_textgrid(tmp_path):
+    """Praat long-format TextGrid -> kaldi segments (silence trim)."""
+    import subprocess
+    import sys
+
+    tg = '''File type = "ooTextFile"
+Object class = "TextGrid"
+
+xmin = 0
+xmax = 3.0
+tiers? <exists>
+size = 1
+item []:
+    item [1]:
+        class = "IntervalTier"
+        name = "phones"
+        xmin = 0
+        xmax = 3.0
+        intervals: size = 4
+        intervals [1]:
+            xmin = 0
+            xmax = 0.35
+            text = ""
+        intervals [2]:
+            xmin = 0.35
+            xmax = 1.2
+            text = "AH"
+        intervals [3]:
+            xmin = 1.2
+            xmax = 2.5
+            text = "K"
+        intervals [4]:
+            xmin = 2.5
+            xmax = 3.0
+            text = ""
+'''
+    (tmp_path / "arctic_a0001.TextGrid").write_text(tg)
+    out = tmp_path / "segments"
+    subprocess.run(
+        [sys.executable, "utils/parse_textgrid.py",
+         "--textgrid_dir", str(tmp_path), "--output", str(out)],
+        check=True, cwd="/root/repo",
+    )
+    assert out.read_text().strip() == "arctic_a0001 arctic_a0001 0.35 2.5"
