@@ -160,6 +160,33 @@ def main():
 
         carry = params
         lowered = jax.jit(jax.value_and_grad(enc)).lower(params, xs, lens, 0)
+    elif args.mode == "decoder":
+        # decoder conformer only: pre-upsampled input at the post-encoder
+        # width (adim * post_encoder_reduction_factor)
+        wide = 384 * pr
+        hs_up = jax.device_put(
+            rng.standard_normal((B, T, wide)).astype(np.float32)
+        )
+
+        def dec(params, hs_up, olens, seed):
+            rngs = {"dropout": jax.random.PRNGKey(seed)}
+            from seq2seq_vc_tpu.ops import make_non_pad_mask
+
+            masks = make_non_pad_mask(olens, hs_up.shape[1])
+            zs, _ = model.apply(
+                params, hs_up, masks, deterministic=False, rngs=rngs,
+                method=lambda m, h, mk, **kw: m.decoder(h, mk, **kw),
+            )
+            return jnp.sum(zs)
+
+        fn = jax.jit(jax.value_and_grad(dec))
+
+        def run_once(i, carry):
+            v, g = fn(carry, hs_up, lens, i)
+            return carry, v
+
+        carry = params
+        lowered = jax.jit(jax.value_and_grad(dec)).lower(params, hs_up, lens, 0)
     elif args.mode == "align":
         from seq2seq_vc_tpu.ops.mas import viterbi_decode
 

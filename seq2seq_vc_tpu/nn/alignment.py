@@ -10,6 +10,7 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -38,12 +39,21 @@ class AlignmentModule(nn.Module):
         f = nn.relu(nn.Conv(self.adim, (3,), padding="SAME", name="f_conv2")(f))
         f = nn.Conv(self.adim, (1,), name="f_conv3")(f)
 
-        # -||f_t - t_k||_2 as score; expanded-difference form keeps it exact
-        dist = jnp.sqrt(
-            jnp.maximum(
-                jnp.sum((f[:, :, None, :] - t[:, None, :, :]) ** 2, axis=-1), 1e-12
-            )
+        # -||f_t - t_k||_2 as score, via the matmul expansion
+        # ||f||^2 + ||t||^2 - 2 f.t: the broadcast-difference form the
+        # reference uses (alignments.py AlignmentModule) materializes a
+        # (B, T_feats, T_text, C) tensor — 6.4 GB at arctic-vc2 train
+        # scale, the single largest HBM stream in the step — while this
+        # form is one MXU matmul with only the (B, T_feats, T_text)
+        # result. HIGHEST precision keeps the cancellation error ~1e-5
+        # absolute on the squared distance, invisible after log_softmax.
+        f2 = jnp.sum(jnp.square(f), axis=-1)  # (B, T_feats)
+        t2 = jnp.sum(jnp.square(t), axis=-1)  # (B, T_text)
+        cross = jnp.einsum(
+            "bfc,btc->bft", f, t, precision=jax.lax.Precision.HIGHEST
         )
+        d2 = f2[:, :, None] + t2[:, None, :] - 2.0 * cross
+        dist = jnp.sqrt(jnp.maximum(d2, 1e-12))
         score = -dist
         if x_masks is not None:
             score = jnp.where(x_masks[:, None, :], -jnp.inf, score)

@@ -220,3 +220,52 @@ def test_learnable_fourier_and_stream_pos_enc():
     full = sp.apply(p2, jnp.ones((1, 10, 16)))
     part = sp.apply(p2, jnp.ones((1, 4, 16)), start_idx=6)
     np.testing.assert_allclose(np.asarray(full)[:, 6:], np.asarray(part), atol=1e-6)
+
+
+def test_alignment_module_matmul_distance_form():
+    """The MXU matmul expansion ||f||^2+||t||^2-2f.t used by
+    AlignmentModule must match the reference's broadcast-difference
+    distances (values and grads), including at coincident points."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    B, Tf, Tt, C = 2, 40, 12, 64
+    f = jnp.asarray(rng.standard_normal((B, Tf, C)).astype(np.float32) * 3)
+    t = jnp.asarray(rng.standard_normal((B, Tt, C)).astype(np.float32) * 3)
+    t = t.at[0, 3].set(f[0, 7])  # coincident pair: worst cancellation
+
+    def diff_form(f, t):
+        return jnp.sqrt(jnp.maximum(
+            jnp.sum((f[:, :, None, :] - t[:, None, :, :]) ** 2, -1), 1e-12))
+
+    def matmul_form(f, t):
+        f2 = jnp.sum(jnp.square(f), -1)
+        t2 = jnp.sum(jnp.square(t), -1)
+        cross = jnp.einsum("bfc,btc->bft", f, t,
+                           precision=jax.lax.Precision.HIGHEST)
+        return jnp.sqrt(jnp.maximum(
+            f2[:, :, None] + t2[:, None, :] - 2.0 * cross, 1e-12))
+
+    np.testing.assert_allclose(
+        np.asarray(matmul_form(f, t)), np.asarray(diff_form(f, t)), atol=1e-4)
+    w = jnp.asarray(rng.standard_normal((B, Tf, Tt)).astype(np.float32))
+    g1 = jax.grad(lambda f, t: (jax.nn.log_softmax(-matmul_form(f, t), -1) * w).sum(),
+                  argnums=(0, 1))(f, t)
+    g2 = jax.grad(lambda f, t: (jax.nn.log_softmax(-diff_form(f, t), -1) * w).sum(),
+                  argnums=(0, 1))(f, t)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+    # module-level: masked rows excluded, valid log-probs normalized
+    from seq2seq_vc_tpu.nn.alignment import AlignmentModule
+    text = jnp.asarray(rng.standard_normal((B, Tt, 32)).astype(np.float32))
+    feats = jnp.asarray(rng.standard_normal((B, Tf, 20)).astype(np.float32))
+    x_masks = jnp.asarray(np.arange(Tt)[None, :] >= np.array([12, 9])[:, None])
+    mod = AlignmentModule(adim=32)
+    params = mod.init(jax.random.PRNGKey(0), text, feats, x_masks)
+    lp = np.asarray(mod.apply(params, text, feats, x_masks))
+    valid = ~np.asarray(x_masks)
+    assert np.isfinite(lp[np.broadcast_to(valid[:, None, :], lp.shape)]).all()
+    p = np.where(np.broadcast_to(valid[:, None, :], lp.shape), np.exp(lp), 0.0)
+    np.testing.assert_allclose(p.sum(-1), 1.0, atol=1e-5)
