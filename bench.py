@@ -241,6 +241,83 @@ def bench_ar_decode(jax, jnp):
     return frames / dt
 
 
+def bench_wav2wav(jax, jnp):
+    """BASELINE.md north-star: single-stream wav->wav RTF through the
+    single-jit pipeline (log-mel -> normalize -> AAS-VC -> stat chain ->
+    chunked HiFi-GAN). Random-init weights (timing only); fetch-verified:
+    every call round-trips the waveform to the host."""
+    from seq2seq_vc_tpu.models import AASVC
+    from seq2seq_vc_tpu.pipeline import Wav2WavConverter
+    from seq2seq_vc_tpu.vocoder.hifigan import HifiganGenerator
+
+    model = AASVC(
+        idim=80, odim=80, adim=384, aheads=2, elayers=4, eunits=1536,
+        dlayers=4, dunits=1536, postnet_layers=5, postnet_chans=256,
+        post_encoder_reduction_factor=4, duration_predictor_type="stochastic",
+        conformer_enc_kernel_size=15, conformer_dec_kernel_size=15,
+    )
+    rng = np.random.default_rng(0)
+    B, T = 1, 128
+    src = rng.standard_normal((B, T, 80)).astype(np.float32)
+    lens = np.asarray([T], np.int32)
+
+    def _init(s, sl, seed):
+        keys = {
+            "params": jax.random.PRNGKey(seed),
+            "dropout": jax.random.PRNGKey(seed + 1),
+            "noise": jax.random.PRNGKey(seed + 2),
+        }
+        return model.init(keys, s, sl, s, sl, deterministic=True)
+
+    params = jax.jit(_init)(src, lens, 0)
+
+    voc = HifiganGenerator(
+        in_channels=80, upsample_factors=(8, 8, 2, 2),
+        upsample_kernel_sizes=(16, 16, 4, 4),
+    )
+    mel0 = rng.standard_normal((1, 64, 80)).astype(np.float32)
+    vparams = jax.jit(voc.init)(jax.random.PRNGKey(1), mel0)
+
+    stats = {"mean": np.zeros(80, np.float32), "scale": np.ones(80, np.float32)}
+    conv = Wav2WavConverter(
+        model, params, voc, vparams, stats, stats,
+        {"sampling_rate": 16000, "fft_size": 1024, "hop_size": 256,
+         "num_mels": 80, "fmin": 80, "fmax": 7600},
+    )
+    audio = (0.1 * rng.standard_normal(int(16000 * 3.8))).astype(np.float32)
+    out = conv(audio)  # compile the convert jit (and some synth bucket)
+    in_secs = len(audio) / 16000.0
+
+    # Random-init durations make the predicted output length arbitrary, so
+    # time the two stages at DETERMINISTIC shapes for a 1:1-rhythm workload:
+    # the convert jit at the input bucket and the synthesis jit over an
+    # input-length mel. Chained + fetch-verified.
+    n_true = 1 + len(audio) // 256
+    n_padded = ((n_true + 127) // 128) * 128
+    x = np.pad(audio, (512, 512), mode="reflect")
+    target_len = 1024 + (n_padded - 1) * 256
+    x = np.pad(x, (0, max(0, target_len - len(x))))[:target_len]
+    fn = conv._get_fn(n_padded, 2 * n_padded + 8)
+    synth = conv._get_synth_fn(n_padded)
+    import jax.numpy as jnp
+
+    x_d = jnp.asarray(x)
+    feats, _ = fn(params, x_d, jnp.asarray(n_true, np.int32), jax.random.PRNGKey(0))
+    wav = synth(vparams, feats[:n_padded])
+    _ = np.asarray(wav)  # compile + settle
+    n_iter = 50
+    t0 = time.time()
+    for i in range(n_iter):
+        feats, _ = fn(
+            params, x_d + 1e-9 * wav[0], jnp.asarray(n_true, np.int32),
+            jax.random.PRNGKey(i),
+        )
+        wav = synth(vparams, feats[:n_padded])
+    _ = np.asarray(wav)  # terminal host fetch
+    dt = (time.time() - t0) / n_iter
+    return dt / in_secs
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -252,9 +329,11 @@ def main():
     nar_fps = bench_nar_inference(jax, jnp)
     train = bench_train_step(jax, jnp)
     ar_fps = bench_ar_decode(jax, jnp)
+    w2w_rtf = bench_wav2wav(jax, jnp)
 
     extra = dict(train)
     extra["ar_decode_mel_frames_per_sec"] = round(ar_fps, 1)
+    extra["wav2wav_rtf_single_stream"] = round(w2w_rtf, 4)
     print(
         json.dumps(
             {

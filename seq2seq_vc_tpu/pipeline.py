@@ -76,7 +76,7 @@ class Wav2WavConverter:
         hop, fft = self.hop_size, self.fft_size
 
         @partial(jax.jit, static_argnames=())
-        def convert(mp, vp, x_padded, n_frames, rng):
+        def convert(mp, x_padded, n_frames, rng):
             # 1. log-mel analysis (x_padded is host reflect-padded audio)
             n = 1 + (x_padded.shape[0] - fft) // hop
             idx = jnp.arange(n)[:, None] * hop + jnp.arange(fft)[None, :]
@@ -96,16 +96,28 @@ class Wav2WavConverter:
             # 4. denorm by target stats, renorm by vocoder stats
             feats = feats * self._trg_scale + self._trg_mean
             feats = (feats - self._voc_mean) / self._voc_scale
-            # 5. synthesize with overlap-halo chunking (batched chunks keep
-            # the low-channel conv stages on the MXU; single-stream is ~10x
-            # less efficient)
-            from .vocoder.hifigan import chunked_generate
-
-            wav = chunked_generate(vocoder, vp, feats)
-            return wav, out["out_lens"][0]
+            return feats, out["out_lens"][0]
 
         self._jit_cache[key] = convert
         return convert
+
+    def _get_synth_fn(self, n_frames: int):
+        """Chunked HiFi-GAN synthesis jit, keyed by (bucketed) mel length."""
+        key = ("synth", n_frames)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        vocoder = self.vocoder
+
+        @jax.jit
+        def synth(vp, feats):
+            # overlap-halo chunking: batched chunks keep the low-channel
+            # conv stages on the MXU (single-stream is ~10x less efficient)
+            from .vocoder.hifigan import chunked_generate
+
+            return chunked_generate(vocoder, vp, feats)
+
+        self._jit_cache[key] = synth
+        return synth
 
     def __call__(self, audio: np.ndarray, rng=None) -> np.ndarray:
         """audio (T,) float32 in [-1,1] -> converted waveform (T',)."""
@@ -123,17 +135,31 @@ class Wav2WavConverter:
         n_padded = ((n_raw + m - 1) // m) * m
         target_len = self.fft_size + (n_padded - 1) * self.hop_size
         x = np.pad(x, (0, max(0, target_len - len(x))))[:target_len]
-        max_out = (n_padded // max(pr, 1)) * 2 + 8
+        # decode budget in REDUCED decoder frames: 2x the input length
+        # covers any plausible rhythm ratio (durations are clamped by
+        # MAX_DP_OUTPUT upstream); dividing by the post-encoder factor here
+        # (as before r2) under-budgeted 1:1 conversion by 2x and cropped
+        max_out = (2 * n_padded) // max(dr, 1) + 8
 
         fn = self._get_fn(n_padded, max_out)
         if rng is None:
             rng = jax.random.PRNGKey(0)
-        wav, out_len = fn(
-            self.model_params, self.vocoder_params, jnp.asarray(x),
-            jnp.asarray(n_true, jnp.int32), rng,
+        feats, out_len = fn(
+            self.model_params, jnp.asarray(x), jnp.asarray(n_true, jnp.int32),
+            rng,
         )
         # AASVC.inference already returns out_lens in full (un-reduced)
-        # decoder frames (out_lens_red * decoder_reduction_factor).
-        self.last_out_frames = int(out_len)
-        n_samples = self.last_out_frames * self.hop_size
+        # decoder frames (out_lens_red * decoder_reduction_factor). One
+        # tiny host fetch here lets the synthesis stage run on a length
+        # bucket near the TRUE output length instead of the worst-case
+        # decode budget (2x input) — vocoder work tracks actual audio.
+        self.last_out_frames = max(1, int(out_len))
+        n_bucket = min(
+            feats.shape[0],
+            ((self.last_out_frames + self.bucket_frames - 1)
+             // self.bucket_frames) * self.bucket_frames,
+        )
+        synth = self._get_synth_fn(n_bucket)
+        wav = synth(self.vocoder_params, feats[:n_bucket])
+        n_samples = min(self.last_out_frames * self.hop_size, wav.shape[0])
         return np.asarray(wav[:n_samples])

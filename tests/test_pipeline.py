@@ -47,7 +47,8 @@ def test_wav2wav_pipeline_roundtrip():
     assert np.isfinite(y).all()
     # jit cache reuse for same bucket
     y2 = conv(audio * 0.9, rng=jax.random.PRNGKey(7))
-    assert len(conv._jit_cache) == 1
+    # one convert jit + one synth jit (keyed by out-length bucket)
+    assert len(conv._jit_cache) == 2
     assert np.isfinite(y2).all()
 
 
