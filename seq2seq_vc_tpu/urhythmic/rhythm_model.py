@@ -40,6 +40,27 @@ def segment_rate(
     )
 
 
+def _gamma_fit(d: np.ndarray) -> Tuple[float, float, float]:
+    """gamma MLE with loc=0, robust to degenerate samples.
+
+    ``scipy.stats.gamma.fit`` root-solves the MLE shape equation, which
+    diverges when the sample has (near-)zero spread (all durations equal —
+    happens on tiny corpora); fall back to a method-of-moments estimate
+    with a spread floor in that case.
+    """
+    d = np.asarray(d, float)
+    mean = float(np.mean(d))
+    var = float(np.var(d))
+    if d.size < 2 or var < 1e-12 * max(mean * mean, 1e-12):
+        a = 1e4  # tightly concentrated around the (single) observed value
+        return a, 0.0, mean / a
+    try:
+        return stats.gamma.fit(d, floc=0)
+    except (ValueError, RuntimeError):
+        a = mean * mean / var
+        return a, 0.0, var / mean
+
+
 class RhythmModelFineGrained:
     def __init__(self, hop_length: int = 320, sample_rate: int = 16000):
         self.hop_rate = hop_length / sample_rate
@@ -60,7 +81,7 @@ class RhythmModelFineGrained:
 
     def _fit(self, utterances) -> Mapping[SoundType, Tuple[float, ...]]:
         tally = self._tally_durations(utterances)
-        return {c: stats.gamma.fit(d, floc=0) for c, d in tally.items()}
+        return {c: _gamma_fit(d) for c, d in tally.items()}
 
     def fit_source(self, utterances):
         self.source = {
@@ -94,10 +115,16 @@ class RhythmModelFineGrained:
                 setattr(self, name, dists)
 
     def __call__(self, clusters: List[SoundType], boundaries: List[int]) -> List[int]:
-        """Transform source segment durations to the target rhythm (frames)."""
+        """Transform source segment durations to the target rhythm (frames).
+
+        Sound types never observed while fitting either speaker (possible
+        on tiny corpora) keep their source duration (identity stretch).
+        """
         durations = self.hop_rate * np.diff(boundaries)
         out = [
             transform(self.source[c.value], self.target[c.value], d)
+            if c.value in self.source and c.value in self.target
+            else d
             for c, d in zip(clusters, durations)
             if not c.value == SILENCE.value or d > 3 * self.hop_rate
         ]
