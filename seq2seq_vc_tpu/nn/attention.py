@@ -58,9 +58,11 @@ class MultiHeadedAttention(nn.Module):
     """Standard scaled dot-product MHA with q/k/v/out projections.
 
     ``backend='flash'`` routes through the Pallas flash-attention kernel
-    when the call qualifies (no attention-weight output needed, attention
-    dropout inactive, and the mask — if any — is a key-padding mask);
-    otherwise it falls back to the XLA path transparently.
+    when the call qualifies: no attention-weight output needed, the mask
+    (if any) is a key-padding mask, and — for non-deterministic (training)
+    calls — the key length reaches ``flash_train_min_len`` (the kernels
+    support dropout + backward, but XLA measures faster below that size).
+    Otherwise it falls back to the XLA path transparently.
     """
 
     n_head: int

@@ -72,7 +72,7 @@ class Wav2WavConverter:
         key = (n_frames_padded, max_out)
         if key in self._jit_cache:
             return self._jit_cache[key]
-        model, vocoder = self.model, self.vocoder
+        model = self.model
         hop, fft = self.hop_size, self.fft_size
 
         @partial(jax.jit, static_argnames=())
