@@ -183,13 +183,8 @@ def _fix_contour(
     segments, then extend each segment over adjacent zeros by re-selecting
     the candidate nearest the extrapolated value."""
     out = f0.copy()
-    # split at jumps
-    for i in range(1, out.size):
-        if out[i] > 0 and out[i - 1] > 0:
-            if abs(out[i] - out[i - 1]) / out[i - 1] > _ALLOWED_RANGE:
-                out[i:] = np.where(out[i:] > 0, out[i:], 0)  # keep values
-                out[i - 1] = out[i - 1]  # break handled by run scan below
-    # drop short voiced runs (interrupted by jumps)
+    # drop short voiced runs; the run scan below treats a >18 % jump as a
+    # run boundary, so jump splitting falls out of the same pass
     runs = []
     cur = None
     for i in range(out.size):

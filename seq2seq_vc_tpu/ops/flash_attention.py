@@ -542,19 +542,16 @@ def _rel_scores(qu, qv, k, plo, phi, *, block: int, scale: float):
 
 def _rel_block_grads(
     qu, qv, k, v, plo, phi, do, o, lse_col, lens_val, q0, k0, seed, bh,
-    *, block, scale, rate, tq, tk, gate=None,
+    *, block, scale, rate, tq, tk,
 ):
     """Recompute (p_dropped, ds*scale, p2) for one rel-pos block pair.
 
-    ``gate``: optional scalar bool and'ed into the validity mask — used by
-    the dpos kernel to null out contributions from out-of-range (clamped)
-    diagonal partners without producing inf/nan intermediates.
+    Out-of-range diagonal partners in the dpos kernel are handled by
+    pl.when guards around the whole contribution, not here.
     """
     s, p2 = _rel_scores(qu, qv, k, plo, phi, block=block, scale=scale)
     kv_pos = k0 + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     valid = kv_pos < lens_val
-    if gate is not None:
-        valid = valid & gate
     p = jnp.where(valid, jnp.exp(s - lse_col), 0.0)
 
     delta = jnp.sum(

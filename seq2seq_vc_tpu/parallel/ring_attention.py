@@ -67,9 +67,9 @@ def ring_attention(
     scale = 1.0 / math.sqrt(D)
     q_pos = my_idx * t_loc + jnp.arange(t_loc)  # global query positions
 
-    def step(carry, _):
-        m, l, acc, kv, src = carry
-        k_blk, v_blk = kv
+    def fold(state, k_blk, v_blk, src):
+        """Fold one K/V block into the online-softmax state."""
+        m, l, acc = state
         kv_pos = src * t_loc + jnp.arange(t_loc)  # global key positions
 
         s = jnp.einsum(
@@ -91,21 +91,27 @@ def ring_attention(
             "bhqk,bhkd->bhqd", p.astype(v_blk.dtype), v_blk,
             preferred_element_type=jnp.float32,
         )
-        acc_new = acc * alpha + pv
+        return m_new, l_new, acc * alpha + pv
 
-        # rotate the K/V block to the next device; the block that started
-        # on device j is on device (j + step) after `step` rotations, so
-        # the incoming block's source index decrements (mod n_dev)
+    def step(carry, _):
+        state, kv, src = carry
+        # rotate FIRST: the local block is folded before the scan, so every
+        # iteration folds exactly one incoming block and no rotation result
+        # is ever discarded (a rotate-last loop wastes one full K/V
+        # exchange over ICI on its final iteration). The block that started
+        # on device j sits on device (j + step) after `step` rotations, so
+        # the incoming block's source index decrements (mod n_dev).
         perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
-        kv_next = jax.lax.ppermute((k_blk, v_blk), axis_name, perm)
-        src_next = (src - 1) % n_dev
-        return (m_new, l_new, acc_new, kv_next, src_next), None
+        k_blk, v_blk = jax.lax.ppermute(kv, axis_name, perm)
+        src = (src - 1) % n_dev
+        return (fold(state, k_blk, v_blk, src), (k_blk, v_blk), src), None
 
     m0 = jnp.full((B, H, t_loc, 1), _NEG_INF, jnp.float32)
     l0 = jnp.zeros((B, H, t_loc, 1), jnp.float32)
     acc0 = jnp.zeros((B, H, t_loc, D), jnp.float32)
-    (m, l, acc, _, _), _ = jax.lax.scan(
-        step, (m0, l0, acc0, (k, v), my_idx), None, length=n_dev
+    state = fold((m0, l0, acc0), k, v, my_idx)
+    ((m, l, acc), _, _), _ = jax.lax.scan(
+        step, (state, (k, v), my_idx), None, length=n_dev - 1
     )
     out = acc / jnp.where(l == 0.0, 1.0, l)
     return out.astype(q.dtype)

@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .dsp.features import _logmel
 from .dsp.mel import mel_filterbank
 from .dsp.stft import hann_window, num_frames
 from .models import AASVC
@@ -48,20 +49,25 @@ class Wav2WavConverter:
         sr = config.get("sampling_rate", 16000)
         self.sr = sr
 
-        self._window = jnp.asarray(hann_window(config.get("win_length") or self.fft_size, self.fft_size))
-        self._mel_t = jnp.asarray(
+        # analysis constants stay HOST numpy: closures over DEVICE arrays in
+        # jitted functions are the documented axon hang class (CLAUDE.md
+        # rule 2); numpy constants embed from host memory at trace time
+        self._window = np.asarray(
+            hann_window(config.get("win_length") or self.fft_size, self.fft_size)
+        )
+        self._mel_t = np.asarray(
             mel_filterbank(
                 sr, self.fft_size, config.get("num_mels", 80),
                 config.get("fmin") or 0, config.get("fmax") or sr / 2,
             ).T
         )
-        self._src_mean = jnp.asarray(src_stats["mean"], jnp.float32)
-        self._src_scale = jnp.asarray(src_stats["scale"], jnp.float32)
-        self._trg_mean = jnp.asarray(trg_stats["mean"], jnp.float32)
-        self._trg_scale = jnp.asarray(trg_stats["scale"], jnp.float32)
+        self._src_mean = np.asarray(src_stats["mean"], np.float32)
+        self._src_scale = np.asarray(src_stats["scale"], np.float32)
+        self._trg_mean = np.asarray(trg_stats["mean"], np.float32)
+        self._trg_scale = np.asarray(trg_stats["scale"], np.float32)
         if vocoder_stats is not None:
-            self._voc_mean = jnp.asarray(vocoder_stats["mean"], jnp.float32)
-            self._voc_scale = jnp.asarray(vocoder_stats["scale"], jnp.float32)
+            self._voc_mean = np.asarray(vocoder_stats["mean"], np.float32)
+            self._voc_scale = np.asarray(vocoder_stats["scale"], np.float32)
         else:
             self._voc_mean = self._trg_mean
             self._voc_scale = self._trg_scale
@@ -77,12 +83,9 @@ class Wav2WavConverter:
 
         @partial(jax.jit, static_argnames=())
         def convert(mp, x_padded, n_frames, rng):
-            # 1. log-mel analysis (x_padded is host reflect-padded audio)
-            n = 1 + (x_padded.shape[0] - fft) // hop
-            idx = jnp.arange(n)[:, None] * hop + jnp.arange(fft)[None, :]
-            frames = x_padded[idx] * self._window[None, :]
-            spc = jnp.abs(jnp.fft.rfft(frames, axis=-1))
-            mel = jnp.log10(jnp.maximum(1e-10, spc @ self._mel_t))
+            # 1. log-mel analysis (x_padded is host reflect-padded audio);
+            # same jitted chain as preprocessing (dsp/features._logmel)
+            mel = _logmel(x_padded, self._window, self._mel_t, fft, hop, 10.0)
             # 2. normalize by source stats
             mel = (mel - self._src_mean) / self._src_scale
             # 3. convert
@@ -102,10 +105,10 @@ class Wav2WavConverter:
         return convert
 
     def _get_synth_fn(self, n_frames: int):
-        """Chunked HiFi-GAN synthesis jit, keyed by (bucketed) mel length."""
-        key = ("synth", n_frames)
-        if key in self._jit_cache:
-            return self._jit_cache[key]
+        """Chunked HiFi-GAN synthesis (one jit; retraces per mel length)."""
+        del n_frames  # jax.jit already caches per input shape
+        if "synth" in self._jit_cache:
+            return self._jit_cache["synth"]
         vocoder = self.vocoder
 
         @jax.jit
@@ -116,7 +119,7 @@ class Wav2WavConverter:
 
             return chunked_generate(vocoder, vp, feats)
 
-        self._jit_cache[key] = synth
+        self._jit_cache["synth"] = synth
         return synth
 
     def __call__(self, audio: np.ndarray, rng=None) -> np.ndarray:
