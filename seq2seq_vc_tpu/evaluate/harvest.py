@@ -160,6 +160,76 @@ def _refine_candidate(
     return refined, score_acc / harmonics
 
 
+def _refine_batch(
+    x: np.ndarray, fs: float, times: np.ndarray, f0s: np.ndarray,
+    f0_floor: float, f0_ceil: float,
+):
+    """Vectorized :func:`_refine_candidate` over many (time, f0) pairs.
+
+    Candidates are bucketed by a window half-length quantized up to
+    multiples of 32 samples, so each bucket shares one Blackman window and
+    one stacked batch rfft — a 10 s utterance refines ~20k candidates in a
+    dozen vectorized FFT calls instead of 20k serial ones. (The quantized
+    window covers >= 3 periods; refinement is insensitive to the extra
+    samples.)
+    """
+    refined = f0s.astype(np.float64).copy()
+    scores = np.zeros_like(refined)
+    half = np.ceil(np.round(1.5 * fs / f0s) / 32).astype(np.int64) * 32
+    centers = np.round(times * fs).astype(np.int64)
+
+    for h in np.unique(half):
+        sel = np.nonzero(half == h)[0]
+        n = 2 * h + 1
+        lo = centers[sel] - h
+        ok = (lo >= 0) & (lo + n <= x.size) & (h >= 8)
+        sel = sel[ok]
+        if sel.size == 0:
+            continue
+        segs = x[(centers[sel] - h)[:, None] + np.arange(n)[None, :]]
+        w = np.blackman(n)
+        fft_size = int(2 ** np.ceil(np.log2(4 * n)))
+        spec0 = np.fft.rfft(segs * w, fft_size, axis=1)
+        # one-sample-delayed DFT for instantaneous frequency
+        spec1 = np.fft.rfft(np.roll(segs, -1, axis=1) * w, fft_size, axis=1)
+        df = fs / fft_size
+        inst = np.angle(spec1 * np.conj(spec0)) * fs / (2.0 * np.pi)
+        amp = np.abs(spec0)
+        n_bins = amp.shape[1]
+        total_amp = amp.max(axis=1) + 1e-12
+
+        num = np.zeros(sel.size)
+        den = np.zeros(sel.size)
+        score_acc = np.zeros(sel.size)
+        harmonics = np.zeros(sel.size)
+        rows = np.arange(sel.size)
+        for k in range(1, 7):
+            target = k * f0s[sel]
+            in_band = target <= fs / 2 - df
+            bin_idx = np.clip(np.round(target / df).astype(np.int64), 0, n_bins - 1)
+            # parabolic-free +-2-bin peak search via gathered columns
+            offs = np.arange(-2, 3)
+            cols = np.clip(bin_idx[:, None] + offs[None, :], 0, n_bins - 1)
+            local = amp[rows[:, None], cols]
+            j = cols[rows, np.argmax(local, axis=1)]
+            a = amp[rows, j]
+            f_inst = inst[rows, j]
+            use = in_band & (f_inst > 0)
+            num += np.where(use, a * k * (f_inst / k), 0.0)
+            den += np.where(use, a * k, 0.0)
+            score_acc += np.where(use, a / total_amp, 0.0)
+            harmonics += use
+        good = (den > 0) & (harmonics > 0)
+        r = np.where(good, num / np.maximum(den, 1e-12), f0s[sel])
+        in_range = (r >= f0_floor * 0.9) & (r <= f0_ceil * 1.1)
+        good = good & in_range
+        refined[sel] = np.where(good, r, f0s[sel])
+        scores[sel] = np.where(
+            good, score_acc / np.maximum(harmonics, 1), 0.0
+        )
+    return refined, scores
+
+
 def _pick_contour(cands: np.ndarray, scores: np.ndarray) -> np.ndarray:
     """Best-scored candidate per frame (0 where none)."""
     best = np.argmax(scores, axis=0)
@@ -294,15 +364,16 @@ def harvest_f0(
                 cands[counts[t], t] = val
                 counts[t] += 1
 
-    # IF refinement + scoring against the original-rate signal
+    # IF refinement + scoring against the original-rate signal (batched)
     scores = np.zeros_like(cands)
-    for t in range(n_frames):
-        for c in range(counts[t]):
-            refined, sc = _refine_candidate(
-                x, float(fs), frame_times[t], cands[c, t], f0_floor, f0_ceil
-            )
-            cands[c, t] = refined
-            scores[c, t] = sc
+    idx_c, idx_t = np.nonzero(cands > 0)
+    if idx_t.size:
+        refined, sc = _refine_batch(
+            x, float(fs), frame_times[idx_t], cands[idx_c, idx_t],
+            f0_floor, f0_ceil,
+        )
+        cands[idx_c, idx_t] = refined
+        scores[idx_c, idx_t] = sc
 
     f0 = _pick_contour(cands, scores)
     min_frames = max(3, int(round(30.0 / frame_period)))  # >= 30 ms voiced
