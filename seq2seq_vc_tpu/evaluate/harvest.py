@@ -104,69 +104,17 @@ def _channel_candidates(
     return np.where(ok, mean, 0.0)
 
 
-def _refine_candidate(
-    x: np.ndarray, fs: float, t: float, f0: float, f0_floor: float,
-    f0_ceil: float,
-):
-    """Instantaneous-frequency refinement + harmonicity score.
-
-    A Blackman-windowed snippet of ~3 periods around t is analyzed; the
-    refined F0 is the amplitude*harmonic-index weighted mean of IF/k over
-    the first 6 harmonics (IF from the phase difference of two DFTs one
-    sample apart); the score is the mean normalized harmonic amplitude.
-    """
-    half_len = int(round(1.5 * fs / f0))
-    c = int(round(t * fs))
-    lo, hi = c - half_len, c + half_len + 1
-    if lo < 0 or hi > x.size or half_len < 8:
-        return f0, 0.0
-    seg = x[lo:hi]
-    n = seg.size
-    w = np.blackman(n)
-    fft_size = int(2 ** np.ceil(np.log2(4 * n)))
-    spec0 = np.fft.rfft(seg * w, fft_size)
-    # one-sample-delayed DFT for instantaneous frequency
-    spec1 = np.fft.rfft(np.roll(seg, -1) * w, fft_size)
-    freqs = np.fft.rfftfreq(fft_size, 1.0 / fs)
-    phase_diff = np.angle(spec1 * np.conj(spec0))
-    inst = phase_diff * fs / (2.0 * np.pi)  # instantaneous frequency/bin
-    amp = np.abs(spec0)
-
-    num = 0.0
-    den = 0.0
-    total_amp = np.max(amp) + 1e-12
-    score_acc = 0.0
-    harmonics = 0
-    for k in range(1, 7):
-        target = k * f0
-        if target > fs / 2 - freqs[1]:
-            break
-        bin_idx = int(round(target / freqs[1]))
-        sl = slice(max(0, bin_idx - 2), min(amp.size, bin_idx + 3))
-        j = sl.start + int(np.argmax(amp[sl]))
-        a = amp[j]
-        f_inst = inst[j]
-        if f_inst <= 0:
-            continue
-        num += a * k * (f_inst / k)
-        den += a * k
-        score_acc += a / total_amp
-        harmonics += 1
-    if den <= 0 or harmonics == 0:
-        return f0, 0.0
-    refined = num / den
-    if not (f0_floor * 0.9 <= refined <= f0_ceil * 1.1):
-        return f0, 0.0
-    return refined, score_acc / harmonics
-
-
 def _refine_batch(
     x: np.ndarray, fs: float, times: np.ndarray, f0s: np.ndarray,
     f0_floor: float, f0_ceil: float,
 ):
-    """Vectorized :func:`_refine_candidate` over many (time, f0) pairs.
+    """Instantaneous-frequency refinement + harmonicity scoring, batched.
 
-    Candidates are bucketed by a window half-length quantized up to
+    Per candidate, a Blackman-windowed snippet of ~3 periods around its
+    frame time is analyzed; the refined F0 is the amplitude*harmonic-index
+    weighted mean of IF/k over the first 6 harmonics (IF from the phase
+    difference of two DFTs one sample apart) and the score is the mean
+    normalized harmonic amplitude. Candidates are bucketed by a window half-length quantized up to
     multiples of 32 samples, so each bucket shares one Blackman window and
     one stacked batch rfft — a 10 s utterance refines ~20k candidates in a
     dozen vectorized FFT calls instead of 20k serial ones. (The quantized
