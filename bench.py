@@ -22,12 +22,22 @@ the target).
 All three timings are fetch-verified: iteration i+1 consumes iteration i's
 output and the timed region ends with a host np.asarray fetch of the final
 result (block_until_ready alone can return early on this runtime).
+
+Every metric is the MEDIAN of >= 3 timed passes (VERDICT r2 #2: a single
+sample let a -6.9% run-variance drift masquerade as a regression).
 """
 
 import json
+import statistics
 import time
 
 import numpy as np
+
+N_PASSES = 3  # timed passes per metric; report the median
+
+
+def median_of(passes):
+    return statistics.median(passes)
 
 
 def bench_nar_inference(jax, jnp):
@@ -74,16 +84,19 @@ def bench_nar_inference(jax, jnp):
     src_d, _ = run(params, src_d, slens_d, jax.random.PRNGKey(3))
     jax.block_until_ready(src_d)  # compile
 
-    n_iter = 60
+    n_iter = 30
     keys = [jax.random.PRNGKey(10 + i) for i in range(n_iter)]
     _ = np.asarray(keys[-1])  # force key materialization
-    t0 = time.time()
-    lens = None
-    for i in range(n_iter):
-        src_d, lens = run(params, src_d, slens_d, keys[i])
-    frames_per_call = int(np.asarray(lens).sum())  # terminal host fetch
-    dt = (time.time() - t0) / n_iter
-    return frames_per_call / dt
+    rates = []
+    for _pass in range(N_PASSES):
+        t0 = time.time()
+        lens = None
+        for i in range(n_iter):
+            src_d, lens = run(params, src_d, slens_d, keys[i])
+        frames_per_call = int(np.asarray(lens).sum())  # terminal host fetch
+        dt = (time.time() - t0) / n_iter
+        rates.append(frames_per_call / dt)
+    return median_of(rates)
 
 
 def bench_train_step(jax, jnp):
@@ -141,9 +154,10 @@ def bench_train_step(jax, jnp):
         return params, opt_state, loss
 
     fn = jax.jit(step, donate_argnums=(0, 1))
-    lowered = jax.jit(step, donate_argnums=(0, 1)).lower(
-        params, opt_state, xs, lens, ys, lens, prior, 0
-    )
+    # .lower() on the SAME wrapper shares the executable cache with the timed
+    # calls below — a second jax.jit(step) would compile the step twice
+    # (1-3 min each over the remote-compile tunnel)
+    lowered = fn.lower(params, opt_state, xs, lens, ys, lens, prior, 0)
     try:
         cost = lowered.compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
@@ -159,16 +173,19 @@ def bench_train_step(jax, jnp):
     params, opt_state, loss = fn(params, opt_state, xs_d, lens_d, ys_d, lens_d, prior_d, 0)
     _ = float(np.asarray(loss))  # compile + settle
 
-    n_iter = 30
-    t0 = time.time()
-    for i in range(n_iter):
-        # params/opt_state chain through donation: steps cannot overlap
-        params, opt_state, loss = fn(
-            params, opt_state, xs_d, lens_d, ys_d, lens_d, prior_d, i + 1
-        )
-    final = float(np.asarray(loss))  # terminal host fetch
-    dt = (time.time() - t0) / n_iter
-    assert np.isfinite(final)
+    n_iter = 20
+    dts = []
+    for _pass in range(N_PASSES):
+        t0 = time.time()
+        for i in range(n_iter):
+            # params/opt_state chain through donation: steps cannot overlap
+            params, opt_state, loss = fn(
+                params, opt_state, xs_d, lens_d, ys_d, lens_d, prior_d, i + 1
+            )
+        final = float(np.asarray(loss))  # terminal host fetch
+        dts.append((time.time() - t0) / n_iter)
+        assert np.isfinite(final)
+    dt = median_of(dts)
     frames = int(lens.sum())
     return {
         "train_mel_frames_per_sec": round(frames / dt, 1),
@@ -222,23 +239,25 @@ def bench_ar_decode(jax, jnp):
     st, outs, probs, att = chunk_jit(params, st, 0)
     jax.block_until_ready(outs)  # compile both
 
-    n_iter = 6  # full decodes of n_chunks*chunk steps each
-    t0 = time.time()
-    total_steps = 0
-    out_sum = 0.0
-    for it in range(n_iter):
-        st = init_jit(params, src, slens, it)
-        for c in range(n_chunks):
-            st, outs, probs, att = chunk_jit(params, st, c * chunk)
-            total_steps += chunk
-        # fetch per decode keeps the timing honest (a real decode fetches
-        # its output too) and chains the loop for the async runtime
-        out_sum += float(np.asarray(outs).mean())
-    dt = time.time() - t0
-    assert np.isfinite(out_sum)
-    r = 4
-    frames = total_steps * r * B
-    return frames / dt
+    n_iter = 4  # full decodes of n_chunks*chunk steps each
+    rates = []
+    for _pass in range(N_PASSES):
+        t0 = time.time()
+        total_steps = 0
+        out_sum = 0.0
+        for it in range(n_iter):
+            st = init_jit(params, src, slens, it)
+            for c in range(n_chunks):
+                st, outs, probs, att = chunk_jit(params, st, c * chunk)
+                total_steps += chunk
+            # fetch per decode keeps the timing honest (a real decode fetches
+            # its output too) and chains the loop for the async runtime
+            out_sum += float(np.asarray(outs).mean())
+        dt = time.time() - t0
+        assert np.isfinite(out_sum)
+        r = 4
+        rates.append(total_steps * r * B / dt)
+    return median_of(rates)
 
 
 def bench_wav2wav(jax, jnp):
@@ -305,17 +324,20 @@ def bench_wav2wav(jax, jnp):
     feats, _ = fn(params, x_d, jnp.asarray(n_true, np.int32), jax.random.PRNGKey(0))
     wav = synth(vparams, feats[:n_padded])
     _ = np.asarray(wav)  # compile + settle
-    n_iter = 50
-    t0 = time.time()
-    for i in range(n_iter):
-        feats, _ = fn(
-            params, x_d + 1e-9 * wav[0], jnp.asarray(n_true, np.int32),
-            jax.random.PRNGKey(i),
-        )
-        wav = synth(vparams, feats[:n_padded])
-    _ = np.asarray(wav)  # terminal host fetch
-    dt = (time.time() - t0) / n_iter
-    return dt / in_secs
+    n_iter = 30
+    rtfs = []
+    for _pass in range(N_PASSES):
+        t0 = time.time()
+        for i in range(n_iter):
+            feats, _ = fn(
+                params, x_d + 1e-9 * wav[0], jnp.asarray(n_true, np.int32),
+                jax.random.PRNGKey(i),
+            )
+            wav = synth(vparams, feats[:n_padded])
+        _ = np.asarray(wav)  # terminal host fetch
+        dt = (time.time() - t0) / n_iter
+        rtfs.append(dt / in_secs)
+    return median_of(rtfs)
 
 
 def main():

@@ -131,9 +131,7 @@ def main():
             return (params, opt_state), loss
 
         carry = (params, opt_state)
-        lowered = jax.jit(step, donate_argnums=(0, 1)).lower(
-            params, opt_state, xs, lens, ys, lens, prior, 0
-        )
+        lowered = fn.lower(params, opt_state, xs, lens, ys, lens, prior, 0)
     elif args.mode == "fwd":
         fn = jax.jit(loss_fn)
 
@@ -142,7 +140,7 @@ def main():
             return carry, loss
 
         carry = params
-        lowered = jax.jit(loss_fn).lower(params, xs, lens, ys, lens, prior, 0)
+        lowered = fn.lower(params, xs, lens, ys, lens, prior, 0)
     elif args.mode == "encoder":
         def enc(params, xs, ilens, seed):
             rngs = {"dropout": jax.random.PRNGKey(seed)}
@@ -159,7 +157,7 @@ def main():
             return carry, v
 
         carry = params
-        lowered = jax.jit(jax.value_and_grad(enc)).lower(params, xs, lens, 0)
+        lowered = fn.lower(params, xs, lens, 0)
     elif args.mode == "decoder":
         # decoder conformer only: pre-upsampled input at the post-encoder
         # width (adim * post_encoder_reduction_factor)
@@ -186,7 +184,7 @@ def main():
             return carry, v
 
         carry = params
-        lowered = jax.jit(jax.value_and_grad(dec)).lower(params, hs_up, lens, 0)
+        lowered = fn.lower(params, hs_up, lens, 0)
     elif args.mode == "align":
         from seq2seq_vc_tpu.ops.mas import viterbi_decode
 
@@ -207,9 +205,7 @@ def main():
             return carry + 1e-9 * g, v
 
         carry = lp0
-        lowered = jax.jit(jax.value_and_grad(align)).lower(
-            lp0, jnp.asarray(ilens_r), lens, prior
-        )
+        lowered = grad_fn.lower(lp0, jnp.asarray(ilens_r), lens, prior)
     else:
         raise SystemExit(f"unknown mode {args.mode}")
 
@@ -230,6 +226,14 @@ def main():
     loss = float(np.asarray(loss))
     print(f"compile+first step: {time.time()-t0:.1f}s  loss={loss:.3f}")
 
+    if args.trace and jax.default_backend() not in ("cpu", "gpu", "tpu"):
+        # jax.profiler trace HANGS on the axon remote runtime (no device-trace
+        # support over the tunnel) and wedges the chip — refuse.
+        print(
+            f"--trace ignored: backend {jax.default_backend()!r} has no "
+            "device-trace support (axon tunnel); profile by ablation modes instead"
+        )
+        args.trace = None
     if args.trace:
         with jax.profiler.trace(args.trace):
             for i in range(3):

@@ -152,8 +152,10 @@ class Trainer:
         self._last_cost_key = key
 
     @staticmethod
-    def _device_peak_flops() -> float:
-        """Best-effort single-chip bf16 peak for the local device kind."""
+    def _device_peak_flops() -> Optional[float]:
+        """Single-chip bf16 peak for the local device kind, or None when the
+        kind isn't in the table (axon tunnel kinds may not match) — callers
+        must then report TF/s only, never a fabricated MFU."""
         kind = jax.devices()[0].device_kind.lower()
         table = {
             "v2": 45e12, "v3": 123e12, "v4": 275e12,
@@ -163,7 +165,7 @@ class Trainer:
         for name, peak in table.items():
             if name in kind:
                 return peak
-        return 275e12
+        return None
 
     def _maybe_profile(self):
         """Start/stop a jax.profiler trace at configured optimizer steps.
@@ -175,6 +177,21 @@ class Trainer:
         start = self.config.get("profile_start_step")
         stop = self.config.get("profile_stop_step")
         if start is None or not is_coordinator():
+            return
+        # the axon remote runtime has no device-trace support; start_trace
+        # blocks forever and wedges the chip (CLAUDE.md). Refuse unless the
+        # user explicitly overrides with profile_force: true.
+        if jax.default_backend() not in ("cpu", "gpu", "tpu") and not self.config.get(
+            "profile_force"
+        ):
+            if not self._profiling:
+                logging.warning(
+                    "profile_start_step set but backend %r has no device-trace "
+                    "support (jax.profiler.start_trace hangs on the axon tunnel); "
+                    "skipping. Set profile_force: true to override.",
+                    jax.default_backend(),
+                )
+                self._profiling = True  # warn once
             return
         if not self._profiling and self.steps >= int(start) and (
             stop is None or self.steps < int(stop)
@@ -253,8 +270,12 @@ class Trainer:
             for metrics in self._pending_metrics:
                 for k, v in metrics.items():
                     self.total_train_loss[f"train/{k}"] += float(v)
+            # average over MICRO-batches: with gradient accumulation there are
+            # interval*grad_accum pending entries per `interval` optimizer
+            # steps; dividing by `interval` would inflate losses by the accum
+            # factor (reference reports per-batch means, trainers/base.py:186-194)
             for key, value in self.total_train_loss.items():
-                avg = value / interval
+                avg = value / max(n_micro, 1)
                 logging.info("(steps: %d) %s = %.4f.", self.steps, key, avg)
                 if self.writer:
                     self.writer.add_scalar(key, avg, self.steps)
@@ -280,15 +301,23 @@ class Trainer:
                 flops, hbm_bytes = self._step_costs[self._last_cost_key]
                 if flops:
                     tflops = flops / avg_t / 1e12
-                    mfu = flops / avg_t / self._device_peak_flops()
+                    peak = self._device_peak_flops()
+                    kind = jax.devices()[0].device_kind
+                    if peak is not None:
+                        mfu_txt = f"mfu = {flops / avg_t / peak:.3f} ({kind})"
+                    else:
+                        mfu_txt = f"mfu = n/a (unknown device kind {kind!r})"
                     logging.info(
-                        "(steps: %d) train/tflops_per_sec = %.2f, mfu = %.3f, "
+                        "(steps: %d) train/tflops_per_sec = %.2f, %s, "
                         "hbm_GBps = %.1f.",
-                        self.steps, tflops, mfu, hbm_bytes / avg_t / 1e9,
+                        self.steps, tflops, mfu_txt, hbm_bytes / avg_t / 1e9,
                     )
                     if self.writer:
                         self.writer.add_scalar("train/tflops_per_sec", tflops, self.steps)
-                        self.writer.add_scalar("train/mfu", mfu, self.steps)
+                        if peak is not None:
+                            self.writer.add_scalar(
+                                "train/mfu", flops / avg_t / peak, self.steps
+                            )
             self.total_train_loss = defaultdict(float)
             self._pending_metrics = []
             self._interval_tick = time.time()

@@ -262,6 +262,36 @@ def test_gradient_accumulation_counts_optimizer_steps(tmp_path):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+def test_log_interval_averages_over_micro_batches():
+    """With gradient_accumulate_steps=N there are interval*N pending metric
+    entries per log interval; the logged mean must be the micro-batch mean,
+    not the micro-batch mean multiplied by N (round-2 bug: sums were divided
+    by `interval` optimizer steps only)."""
+    from collections import defaultdict
+    from seq2seq_vc_tpu.train.trainer import Trainer
+
+    class FakeWriter:
+        def __init__(self):
+            self.scalars = {}
+
+        def add_scalar(self, key, value, step):
+            self.scalars[key] = value
+
+    t = object.__new__(Trainer)
+    t.config = {"log_interval_steps": 2, "gradient_accumulate_steps": 3}
+    t.steps = 2
+    t.writer = FakeWriter()
+    t.total_train_loss = defaultdict(float)
+    t._interval_tick = 0.0
+    t._step_costs = {}
+    t._last_cost_key = None
+    # 2 optimizer steps x 3 micro-batches, every micro-batch loss = 5.0
+    t._pending_metrics = [{"loss": jnp.asarray(5.0)} for _ in range(6)]
+    t._check_log_interval()
+    assert t.writer.scalars["train/loss"] == pytest.approx(5.0)
+    assert t._pending_metrics == []
+
+
 def test_eval_is_deterministic(tmp_path):
     """Dev losses use deterministic=True (dropout off): eval_fn output is
     reproducible and differs from the train-mode (dropout-on) loss."""
