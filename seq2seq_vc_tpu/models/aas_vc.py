@@ -56,8 +56,9 @@ class AASVC(nn.Module):
     use_scaled_pos_enc: bool = True
     use_batch_norm: bool = True
     encoder_input_layer: str = "linear"
-    encoder_normalize_before: bool = True
-    decoder_normalize_before: bool = True
+    # reference defaults (aas_vc.py:58-59); shipped configs set both True
+    encoder_normalize_before: bool = False
+    decoder_normalize_before: bool = False
     encoder_concat_after: bool = False
     decoder_concat_after: bool = False
     encoder_reduction_factor: int = 1
@@ -77,7 +78,11 @@ class AASVC(nn.Module):
     postnet_filts: int = 5
     postnet_dropout_rate: float = 0.5
     use_masking: bool = True  # consumed by the trainer's losses
-    conformer_rel_pos_type: str = "legacy"
+    # the reference AASVC has NO rel_pos_type compatibility fallback (that is
+    # VTN-only, vtn.py:84-105): 'rel_pos'/'rel_selfattn' there are the NEW
+    # Transformer-XL style. 'latest' keeps them as-is; 'legacy' is accepted
+    # as an extension knob only.
+    conformer_rel_pos_type: str = "latest"
     conformer_pos_enc_layer_type: str = "rel_pos"
     conformer_self_attn_layer_type: str = "rel_selfattn"
     use_macaron_style_in_conformer: bool = True
@@ -98,6 +103,12 @@ class AASVC(nn.Module):
     stochastic_duration_predictor_dds_conv_layers: int = 3
     stochastic_duration_predictor_noise_scale: float = 0.8
     init_type: str = "xavier_uniform"
+    # norm inside the conformer conv module / postnet: 'group_norm' (TPU
+    # default — mask-aware, sync-free under pjit) or 'batch_norm' (reference
+    # torch parity; eval mode uses running stats from the 'batch_stats'
+    # collection, e.g. converted reference checkpoints)
+    conformer_conv_norm_type: str = "group_norm"
+    postnet_norm_type: str = "group_norm"
     attention_backend: str = "xla"  # 'flash': Pallas kernels (legacy + latest rel-pos)
     # mixed precision: 'bfloat16' runs the conformer stacks + postnet with a
     # bf16 residual stream (fp32 params, LN/softmax stats, losses). The
@@ -140,6 +151,7 @@ class AASVC(nn.Module):
             selfattention_layer_type=self_attn,
             use_cnn_module=self.use_cnn_in_conformer,
             cnn_module_kernel=self.conformer_enc_kernel_size,
+            conv_norm_type=self.conformer_conv_norm_type,
             attention_backend=self.attention_backend,
             dtype=self._dtype,
             remat=self.remat_layers,
@@ -191,6 +203,7 @@ class AASVC(nn.Module):
             selfattention_layer_type=self_attn,
             use_cnn_module=self.use_cnn_in_conformer,
             cnn_module_kernel=self.conformer_dec_kernel_size,
+            conv_norm_type=self.conformer_conv_norm_type,
             attention_backend=self.attention_backend,
             dtype=self._dtype,
             remat=self.remat_layers,
@@ -204,6 +217,7 @@ class AASVC(nn.Module):
                 n_filts=self.postnet_filts,
                 dropout_rate=self.postnet_dropout_rate,
                 use_norm=self.use_batch_norm,
+                norm_type=self.postnet_norm_type,
                 dtype=self._dtype,
             )
         else:

@@ -57,7 +57,9 @@ class FastSpeechVC(nn.Module):
     decoder_reduction_factor: int = 1
     encoder_type: str = "transformer"
     decoder_type: str = "transformer"
-    conformer_rel_pos_type: str = "legacy"
+    # reference FastSpeechVC has no rel_pos_type fallback either (see
+    # models/aas_vc.py note): conformer options are NEW style
+    conformer_rel_pos_type: str = "latest"
     conformer_pos_enc_layer_type: str = "rel_pos"
     conformer_self_attn_layer_type: str = "rel_selfattn"
     use_macaron_style_in_conformer: bool = True
@@ -75,6 +77,9 @@ class FastSpeechVC(nn.Module):
     duration_predictor_dropout_rate: float = 0.1
     postnet_dropout_rate: float = 0.5
     init_type: str = "xavier_uniform"
+    # 'group_norm' (TPU default) or 'batch_norm' (reference torch parity)
+    conformer_conv_norm_type: str = "group_norm"
+    postnet_norm_type: str = "group_norm"
     attention_backend: str = "xla"  # 'flash': Pallas kernels (legacy + latest rel-pos)
     init_enc_alpha: float = 1.0
     init_dec_alpha: float = 1.0
@@ -120,6 +125,7 @@ class FastSpeechVC(nn.Module):
                 selfattention_layer_type=self_attn,
                 use_cnn_module=self.use_cnn_in_conformer,
                 cnn_module_kernel=self.conformer_enc_kernel_size,
+                conv_norm_type=self.conformer_conv_norm_type,
                 attention_backend=self.attention_backend,
             )
         else:
@@ -173,6 +179,7 @@ class FastSpeechVC(nn.Module):
                 selfattention_layer_type=self_attn,
                 use_cnn_module=self.use_cnn_in_conformer,
                 cnn_module_kernel=self.conformer_dec_kernel_size,
+                conv_norm_type=self.conformer_conv_norm_type,
                 attention_backend=self.attention_backend,
             )
         else:
@@ -187,6 +194,7 @@ class FastSpeechVC(nn.Module):
             n_filts=self.postnet_filts,
             dropout_rate=self.postnet_dropout_rate,
             use_norm=self.use_batch_norm,
+            norm_type=self.postnet_norm_type,
         )
 
     def _conformer_types(self):

@@ -57,6 +57,8 @@ class TransformerTTS(nn.Module):
     num_heads_applied_guided_attn: int = 2
     num_layers_applied_guided_attn: int = 2
     init_type: str = "xavier_uniform"
+    # 'group_norm' (TPU default) or 'batch_norm' (reference torch parity)
+    postnet_norm_type: str = "group_norm"
 
     @property
     def padding_idx(self) -> int:
@@ -120,6 +122,7 @@ class TransformerTTS(nn.Module):
             n_chans=self.postnet_chans,
             n_filts=self.postnet_filts,
             use_norm=self.use_batch_norm,
+            norm_type=self.postnet_norm_type,
         )
 
     def _integrate_with_spk_embed(self, hs, spembs):

@@ -87,6 +87,10 @@ class VTN(nn.Module):
     conformer_enc_kernel_size: int = 7
     conformer_dec_kernel_size: int = 31
     init_type: str = "xavier_uniform"  # accepted for config parity
+    # 'group_norm' (TPU default) or 'batch_norm' (reference torch parity;
+    # eval uses 'batch_stats' running stats, e.g. converted checkpoints)
+    conformer_conv_norm_type: str = "group_norm"
+    postnet_norm_type: str = "group_norm"
     attention_backend: str = "xla"  # 'flash': Pallas kernel in the encoder
     # mixed precision: 'bfloat16' runs encoder/decoder stacks (incl. the AR
     # decode step + KV caches) with a bf16 residual stream; params, LN
@@ -143,6 +147,7 @@ class VTN(nn.Module):
                 selfattention_layer_type=self_attn,
                 use_cnn_module=self.use_cnn_in_conformer,
                 cnn_module_kernel=self.conformer_enc_kernel_size,
+                conv_norm_type=self.conformer_conv_norm_type,
                 zero_triu=self.zero_triu,
                 dtype=self._dtype,
             )
@@ -188,6 +193,7 @@ class VTN(nn.Module):
             n_chans=self.postnet_chans,
             n_filts=self.postnet_filts,
             use_norm=self.use_batch_norm,
+            norm_type=self.postnet_norm_type,
         )
 
     def _integrate_with_spk_embed(self, hs, spembs):

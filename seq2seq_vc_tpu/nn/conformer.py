@@ -253,7 +253,9 @@ class ConformerEncoder(nn.Module):
     def setup(self):
         if self.input_layer == "linear":
             self.pre = nn.Dense(self.attention_dim)
-            self.pre_norm = nn.LayerNorm(epsilon=LN_EPS)
+            # plain torch.nn.LayerNorm (eps 1e-5), not the espnet 1e-12 one
+            # (reference conformer/encoder.py:117-122)
+            self.pre_norm = nn.LayerNorm(epsilon=1e-5)
         elif self.input_layer == "conv2d":
             self.subsample = Conv2dSubsampling(self.attention_dim)
         elif self.input_layer == "embed":
@@ -304,10 +306,11 @@ class ConformerEncoder(nn.Module):
     def __call__(self, xs, masks: Optional[jnp.ndarray], deterministic: bool = True):
         """Encode. xs: (B, T, idim) or (B, T) ints; masks: (B, T) non-pad."""
         if self.input_layer == "linear":
-            xs = nn.relu(
-                self.input_dropout(
-                    self.pre_norm(self.pre(xs)), deterministic=deterministic
-                )
+            # Linear -> LN -> Dropout, NO ReLU (the conformer embed differs
+            # from the transformer encoder's here — conformer/encoder.py:117,
+            # transformer/encoder.py:99-105 has the extra ReLU)
+            xs = self.input_dropout(
+                self.pre_norm(self.pre(xs)), deterministic=deterministic
             )
         elif self.input_layer == "conv2d":
             xs, masks = self.subsample(xs, masks)

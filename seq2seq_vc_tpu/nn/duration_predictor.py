@@ -39,7 +39,8 @@ class DurationPredictor(nn.Module):
         for _ in range(self.n_layers):
             h = nn.Conv(self.n_chans, (self.kernel_size,), padding="SAME")(h)
             h = nn.relu(h)
-            h = nn.LayerNorm()(h)
+            # espnet LayerNorm eps 1e-12 (reference duration_predictor.py:75)
+            h = nn.LayerNorm(epsilon=1e-12)(h)
             h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
         h = nn.Dense(1)(h)[..., 0]  # (B, T)
         if is_inference:

@@ -305,7 +305,9 @@ class Encoder(nn.Module):
     def setup(self):
         if self.input_layer == "linear":
             self.pre = nn.Dense(self.attention_dim)
-            self.pre_norm = nn.LayerNorm(epsilon=LN_EPS)
+            # plain torch.nn.LayerNorm (eps 1e-5) in the reference embed
+            # Sequential (transformer/encoder.py:99-105)
+            self.pre_norm = nn.LayerNorm(epsilon=1e-5)
         elif self.input_layer in ("conv2d", "conv2d-scaled-pos-enc"):
             self.subsample = Conv2dSubsampling(self.attention_dim)
         elif self.input_layer == "embed":

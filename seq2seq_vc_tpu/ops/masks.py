@@ -28,7 +28,11 @@ def subsequent_mask(size: int) -> jnp.ndarray:
 
 
 def target_mask(olens: jnp.ndarray, maxlen: int) -> jnp.ndarray:
-    """(B, maxlen, maxlen) decoder self-attention mask: causal AND non-pad."""
+    """(B, maxlen, maxlen) decoder self-attention mask: causal AND key
+    non-pad. Query rows are NOT masked — exactly the reference formula
+    (``models/vtn.py:574-602``): padded query rows still attend the valid
+    prefix, so the postnet's conv taps over the padded tail see the same
+    values in both frameworks (numerical-parity requirement)."""
     non_pad = make_non_pad_mask(olens, maxlen)  # (B, T)
     causal = subsequent_mask(maxlen)[None]  # (1, T, T)
-    return non_pad[:, None, :] & non_pad[:, :, None] & causal
+    return non_pad[:, None, :] & causal

@@ -210,7 +210,10 @@ def test_masks():
     tm = np.asarray(target_mask(lens, 4))
     assert tm.shape == (2, 4, 4)
     assert tm[0, 2, :3].all() and not tm[0, 2, 3]
-    assert not tm[1, 1].any()  # padded query row fully masked
+    # reference formula (vtn.py:574-602): keys masked at pad, query rows NOT
+    # masked — padded queries attend the valid causal prefix (required for
+    # postnet-tap parity with the reference; see test_reference_parity)
+    np.testing.assert_array_equal(tm[1, 3], [True, False, False, False])
 
 
 def test_scaled_dot_attention_softmax_and_mask():
