@@ -11,10 +11,10 @@ unidirectional LSTM cells, linear projection with encoder skip connection).
 
 The AR loop is a ``lax.scan`` with static shapes (TPU-jittable end to end).
 ``convert_torch_taco2ar`` maps an s3prl-vc torch checkpoint into the flax
-params by (shape, order) matching with loud failure on mismatch; exact
-numerical parity can only be asserted against a real checkpoint (external
-download — unavailable in this image). Architecture and conversion
-scaffolding are covered by tests.
+params by EXPLICIT torch parameter name (LSTM ih/hh, fwd/bwd directions and
+BatchNorm running stats all land where they belong, with loud failure on
+any unknown name); ``tests/test_taco2ar.py`` proves output parity against
+a live torch replica of the upstream architecture.
 """
 
 from __future__ import annotations
@@ -92,6 +92,9 @@ class Taco2AR(nn.Module):
     prenet_units: int = 256
     prenet_dropout_rate: float = 0.5
     dropout_rate: float = 0.5
+    # 'group_norm' (TPU default, pad-invariant) or 'batch_norm' (torch
+    # checkpoint parity: eval-mode running stats from 'batch_stats')
+    norm_type: str = "group_norm"
 
     @nn.compact
     def __call__(self, latents, out_len: Optional[int] = None, rng=None,
@@ -109,9 +112,16 @@ class Taco2AR(nn.Module):
                 self.encoder_conv_chans, (self.encoder_conv_filts,),
                 padding="SAME", use_bias=False, name=f"conv{i}",
             )(x)
-            # per-sample GroupNorm(1) replaces BatchNorm (repo convention:
-            # pad-invariant and pjit-pure; see nn/conformer.py)
-            x = nn.GroupNorm(num_groups=1, name=f"norm{i}")(x)
+            if self.norm_type == "group_norm":
+                # per-sample GroupNorm(1) replaces BatchNorm (repo
+                # convention: pad-invariant and pjit-pure; nn/conformer.py)
+                x = nn.GroupNorm(num_groups=1, name=f"norm{i}")(x)
+            elif self.norm_type == "batch_norm":
+                x = nn.BatchNorm(
+                    use_running_average=deterministic, name=f"norm{i}"
+                )(x)
+            else:
+                raise ValueError(self.norm_type)
             x = nn.relu(x)
             x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
         half = self.encoder_units // 2
@@ -177,65 +187,122 @@ class Taco2AR(nn.Module):
 
 # --------------------------------------------------------------- conversion
 def convert_torch_taco2ar(state_dict: Dict[str, Any], model: Taco2AR,
-                          example_latents: np.ndarray) -> Dict[str, Any]:
-    """Best-effort torch->flax conversion for Taco2-AR checkpoints.
+                          example_latents: np.ndarray = None) -> Dict[str, Any]:
+    """Name-based torch->flax conversion for s3prl-vc Taco2-AR checkpoints.
 
-    Tensors are matched by (shape, torch ordering) after layout transposes;
-    raises listing the unmatched names so a mismatched checkpoint fails
-    loudly instead of decoding garbage.
+    Every tensor is matched by its EXPLICIT torch parameter name (never by
+    shape — identically-shaped LSTM ih/hh or fwd/bwd tensors would silently
+    cross-wire under shape matching). Expected layout, following the
+    upstream s3prl-vc ``models/taco2.py`` / espnet Tacotron2 structure:
+
+    - ``encoder.embed.{weight,bias}`` — input Linear.
+    - ``encoder.convs.{i}.0.weight`` — Conv1d (bias=False);
+      ``encoder.convs.{i}.1.{weight,bias,running_mean,running_var}`` —
+      BatchNorm1d (requires ``norm_type='batch_norm'`` on the model; the
+      running stats go to the ``batch_stats`` collection).
+    - ``encoder.blstm.{weight_ih_l0,weight_hh_l0,bias_ih_l0,bias_hh_l0}``
+      (+ ``_reverse``) — bidirectional torch.nn.LSTM, forward direction
+      first, torch gate order (i, f, g, o) kept as-is (the flax cell uses
+      the same order).
+    - ``decoder.lstms.{i}.{weight_ih,weight_hh,bias_ih,bias_hh}`` —
+      torch.nn.LSTMCell stack (``decoder.lstm.{i}.*`` also accepted).
+    - ``decoder.prenet.prenet.{i}.0.{weight,bias}`` — prenet Linears
+      (``decoder.prenet.{i}.0.*`` also accepted).
+    - ``decoder.proj.{weight,bias}`` — output projection.
+
+    Raises KeyError / ValueError listing the offending names when the
+    checkpoint uses a different layout — never decodes garbage silently.
     """
-    import flax
-
-    target = model.init(
-        {"params": jax.random.PRNGKey(0)},
-        jnp.asarray(example_latents)[None], deterministic=True,
-    )["params"]
-    flat_t = jax.tree_util.tree_flatten_with_path(target)[0]
-
+    del example_latents  # layout is name-driven; kept for API compat
     sd = {
         k: (v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v))
         for k, v in state_dict.items()
         if not k.endswith("num_batches_tracked")
     }
 
-    def to_flax(name, arr):
-        if arr.ndim == 2 and "weight" in name and "lstm" not in name:
-            return arr.T  # torch Linear (out,in) -> flax (in,out)
-        if arr.ndim == 3:
-            return np.transpose(arr, (2, 1, 0))  # conv (out,in,k) -> (k,in,out)
-        return arr
+    def pop(name):
+        try:
+            return sd.pop(name)
+        except KeyError:
+            raise KeyError(
+                f"torch parameter {name!r} not found in the Taco2-AR "
+                f"checkpoint (remaining: {sorted(sd)[:8]}...)"
+            ) from None
 
-    used = set()
-    out = {}
-    for path, tgt in flat_t:
-        key = tuple(p.key for p in path)
-        want = tuple(tgt.shape)
-        match = None
-        for name, arr in sd.items():
-            if name in used:
-                continue
-            cand = to_flax(name, arr)
-            if tuple(cand.shape) == want:
-                match = (name, cand)
-                break
-        if match is None:
-            raise ValueError(
-                f"no torch tensor matches flax param {key} of shape {want}; "
-                f"remaining torch keys: {[n for n in sd if n not in used][:10]}"
+    def pop_any(*names):
+        for n in names:
+            if n in sd:
+                return sd.pop(n)
+        raise KeyError(
+            f"none of {names} found in the Taco2-AR checkpoint "
+            f"(remaining: {sorted(sd)[:8]}...)"
+        )
+
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    params["embed"] = {
+        "kernel": pop("encoder.embed.weight").T,
+        "bias": pop("encoder.embed.bias"),
+    }
+    for i in range(model.encoder_conv_layers):
+        w = pop(f"encoder.convs.{i}.0.weight")  # (out, in, k)
+        params[f"conv{i}"] = {"kernel": w.transpose(2, 1, 0)}
+        norm = {
+            "scale": pop(f"encoder.convs.{i}.1.weight"),
+            "bias": pop(f"encoder.convs.{i}.1.bias"),
+        }
+        if f"encoder.convs.{i}.1.running_mean" in sd:
+            if model.norm_type != "batch_norm":
+                raise ValueError(
+                    "checkpoint contains encoder BatchNorm running stats; "
+                    "build the Taco2AR with norm_type='batch_norm' (the "
+                    "GroupNorm default cannot represent them)"
+                )
+            stats[f"norm{i}"] = {
+                "mean": pop(f"encoder.convs.{i}.1.running_mean"),
+                "var": pop(f"encoder.convs.{i}.1.running_var"),
+            }
+        params[f"norm{i}"] = norm
+
+    # bidirectional LSTM: torch packs forward (no suffix) and backward
+    # ('_reverse') directions; each is (4H, in)/(4H, H) in (i, f, g, o)
+    # gate order — identical to the flax cell, so no gate permutation
+    for flax_prefix, suffix in (("enc_lstm_fwd", ""), ("enc_lstm_bwd", "_reverse")):
+        params[f"{flax_prefix}_wih"] = pop(f"encoder.blstm.weight_ih_l0{suffix}")
+        params[f"{flax_prefix}_whh"] = pop(f"encoder.blstm.weight_hh_l0{suffix}")
+        params[f"{flax_prefix}_bih"] = pop(f"encoder.blstm.bias_ih_l0{suffix}")
+        params[f"{flax_prefix}_bhh"] = pop(f"encoder.blstm.bias_hh_l0{suffix}")
+
+    for i in range(model.decoder_layers):
+        for part in ("weight_ih", "weight_hh", "bias_ih", "bias_hh"):
+            tgt = {"weight_ih": "wih", "weight_hh": "whh",
+                   "bias_ih": "bih", "bias_hh": "bhh"}[part]
+            params[f"dec_lstm{i}_{tgt}"] = pop_any(
+                f"decoder.lstms.{i}.{part}", f"decoder.lstm.{i}.{part}"
             )
-        used.add(match[0])
-        out[key] = jnp.asarray(match[1])
 
-    leftover = [n for n in sd if n not in used]
-    if leftover:
-        raise ValueError(f"unconverted torch tensors (layout mismatch): {leftover}")
-    nested: Dict[str, Any] = {}
-    for key, v in out.items():
-        d = nested
-        for k in key[:-1]:
-            d = d.setdefault(k, {})
-        d[key[-1]] = v
-    return {"params": flax.core.freeze(nested).unfreeze()}
+    for i in range(model.prenet_layers):
+        w = pop_any(
+            f"decoder.prenet.prenet.{i}.0.weight", f"decoder.prenet.{i}.0.weight"
+        )
+        b = pop_any(
+            f"decoder.prenet.prenet.{i}.0.bias", f"decoder.prenet.{i}.0.bias"
+        )
+        params[f"prenet_fc{i}_kernel"] = w.T
+        params[f"prenet_fc{i}_bias"] = b
+
+    params["proj_kernel"] = pop("decoder.proj.weight").T
+    params["proj_bias"] = pop("decoder.proj.bias")
+
+    if sd:
+        raise ValueError(
+            f"unconverted torch tensors (unexpected layout): {sorted(sd)}"
+        )
+    out = {"params": jax.tree_util.tree_map(jnp.asarray, params)}
+    if stats:
+        out["batch_stats"] = jax.tree_util.tree_map(jnp.asarray, stats)
+    return out
 
 
 def build_downstream(checkpoint: str, config: Dict[str, Any],
@@ -261,15 +328,22 @@ def build_downstream(checkpoint: str, config: Dict[str, Any],
         config["sampling_rate"] / config["hop_size"] * upstream_rate / 16000.0
     )
     params = config.get("model_params", {})
-    first = next(v for v in sd.values() if getattr(v, "ndim", 0) == 2)
+    try:
+        embed_w = sd["encoder.embed.weight"]
+    except KeyError:
+        raise KeyError(
+            "checkpoint lacks 'encoder.embed.weight' — not an s3prl-vc "
+            f"Taco2-AR state_dict (keys: {sorted(sd)[:8]}...)"
+        ) from None
+    has_bn = any(k.endswith("running_mean") for k in sd)
     model = Taco2AR(
-        input_dim=int(first.shape[1]),
+        input_dim=int(embed_w.shape[1]),
         output_dim=int(config.get("num_mels", 80)),
         resample_ratio=1.0 / mel_per_latent if mel_per_latent else 1.0,
+        norm_type="batch_norm" if has_bn else "group_norm",
         **{k: v for k, v in params.items() if k in Taco2AR.__dataclass_fields__},
     )
-    example = np.zeros((16, model.input_dim), np.float32)
-    variables = convert_torch_taco2ar(sd, model, example)
+    variables = convert_torch_taco2ar(sd, model)
     apply_fn = jax.jit(
         lambda latents, key: model.apply(
             variables, latents[None], rng=key, deterministic=True

@@ -61,34 +61,158 @@ def test_taco2ar_is_jittable():
     assert np.isfinite(np.asarray(out)).all()
 
 
-def test_convert_shape_matcher_roundtrip():
-    """A state_dict whose tensors have the right shapes converts; leftover
-    or missing tensors fail loudly."""
-    model = _tiny_model()
-    latents = np.zeros((4, 12), np.float32)
-    params = model.init(
-        {"params": jax.random.PRNGKey(0)}, jnp.asarray(latents)[None],
+def _torch_replica(torch, model):
+    """Live torch replica of the upstream s3prl-vc Taco2-AR architecture,
+    registered in TORCH parameter order with the upstream names (encoder
+    Linear embed -> conv/BN stack -> bidirectional nn.LSTM; decoder
+    nn.LSTMCell stack + prenet + proj). Exercising the converter against
+    this rules out the silent cross-wiring a shape-matcher allowed:
+    LSTMCell registers weight_ih BEFORE weight_hh and torch's BLSTM
+    registers forward before reverse, both opposite to the flax
+    alphabetical flatten order."""
+    nn_t = torch.nn
+
+    class Replica(nn_t.Module):
+        def __init__(self):
+            super().__init__()
+            enc = nn_t.Module()
+            enc.embed = nn_t.Linear(model.input_dim, model.encoder_conv_chans)
+            enc.convs = nn_t.ModuleList()
+            for _ in range(model.encoder_conv_layers):
+                enc.convs.append(
+                    nn_t.Sequential(
+                        nn_t.Conv1d(
+                            model.encoder_conv_chans, model.encoder_conv_chans,
+                            model.encoder_conv_filts,
+                            padding=(model.encoder_conv_filts - 1) // 2,
+                            bias=False,
+                        ),
+                        nn_t.BatchNorm1d(model.encoder_conv_chans),
+                        nn_t.ReLU(),
+                        nn_t.Dropout(0.5),
+                    )
+                )
+            enc.blstm = nn_t.LSTM(
+                model.encoder_conv_chans, model.encoder_units // 2,
+                batch_first=True, bidirectional=True,
+            )
+            self.encoder = enc
+            dec = nn_t.Module()
+            dec.lstms = nn_t.ModuleList()
+            for i in range(model.decoder_layers):
+                d_in = (
+                    model.encoder_units + model.prenet_units
+                    if i == 0 else model.decoder_units
+                )
+                dec.lstms.append(nn_t.LSTMCell(d_in, model.decoder_units))
+            pre = nn_t.Module()
+            pre.prenet = nn_t.ModuleList()
+            for i in range(model.prenet_layers):
+                d_in = model.output_dim if i == 0 else model.prenet_units
+                pre.prenet.append(
+                    nn_t.Sequential(nn_t.Linear(d_in, model.prenet_units), nn_t.ReLU())
+                )
+            dec.prenet = pre
+            dec.proj = nn_t.Linear(
+                model.encoder_units + model.decoder_units, model.output_dim
+            )
+            self.decoder = dec
+
+        def forward(self, latents, t_out):
+            import torch.nn.functional as F
+
+            x = F.interpolate(
+                latents.transpose(1, 2), size=t_out, mode="linear",
+                align_corners=False,
+            ).transpose(1, 2)
+            x = self.encoder.embed(x)
+            x = x.transpose(1, 2)
+            for conv in self.encoder.convs:
+                x = conv(x)
+            x = x.transpose(1, 2)
+            enc, _ = self.encoder.blstm(x)
+            B = enc.shape[0]
+            prev = torch.zeros(B, model.output_dim)
+            states = [
+                (torch.zeros(B, model.decoder_units), torch.zeros(B, model.decoder_units))
+                for _ in range(model.decoder_layers)
+            ]
+            outs = []
+            for t in range(t_out):
+                p = prev
+                for seq in self.decoder.prenet.prenet:
+                    p = seq(p)  # prenet dropout rate 0 in this parity test
+                h = torch.cat([enc[:, t], p], dim=-1)
+                for i, cell in enumerate(self.decoder.lstms):
+                    hi, ci = cell(h, states[i])
+                    states[i] = (hi, ci)
+                    h = hi
+                out = self.decoder.proj(torch.cat([enc[:, t], h], dim=-1))
+                outs.append(out)
+                prev = out
+            return torch.stack(outs, dim=1)
+
+    return Replica()
+
+
+def test_convert_matches_torch_replica():
+    """Converted checkpoints reproduce the torch forward numerically —
+    name-based mapping covers LSTM ih/hh order, BLSTM directions, BN
+    running stats, prenet and proj."""
+    torch = pytest.importorskip("torch")
+    model = Taco2AR(
+        input_dim=12, output_dim=8, resample_ratio=1.6,
+        encoder_conv_layers=2, encoder_conv_chans=16, encoder_conv_filts=5,
+        encoder_units=16, decoder_layers=2, decoder_units=24,
+        prenet_layers=2, prenet_units=10, prenet_dropout_rate=0.0,
+        norm_type="batch_norm",
+    )
+    torch.manual_seed(0)
+    replica = _torch_replica(torch, model)
+    replica.eval()
+    # randomized running stats: init-stat (0/1) BN would hide a mis-mapping
+    g = torch.Generator().manual_seed(1)
+    for m in replica.modules():
+        if isinstance(m, torch.nn.BatchNorm1d):
+            m.running_mean.copy_(torch.randn(m.running_mean.shape, generator=g) * 0.3)
+            m.running_var.copy_(torch.rand(m.running_var.shape, generator=g) + 0.5)
+
+    rng = np.random.default_rng(2)
+    latents = rng.standard_normal((2, 32, 12)).astype(np.float32)
+    t_out = 20  # round(32 / 1.6)
+    with torch.no_grad():
+        ref = replica(torch.from_numpy(latents), t_out).numpy()
+
+    variables = convert_torch_taco2ar(replica.state_dict(), model)
+    out = model.apply(
+        variables, jnp.asarray(latents), rng=jax.random.PRNGKey(0),
         deterministic=True,
-    )["params"]
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    )
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
 
-    # build a fake torch state_dict with matching shapes (torch layouts)
-    sd = {}
-    for i, (path, v) in enumerate(flat):
-        arr = np.asarray(v, np.float32)
-        name = f"w{i}.lstm" if "lstm" in str(path).lower() else f"w{i}.weight"
-        if arr.ndim == 2 and "lstm" not in name:
-            arr = arr.T  # back to torch Linear layout
-        elif arr.ndim == 3:
-            arr = np.transpose(arr, (2, 1, 0))
-        sd[name] = arr
-    variables = convert_torch_taco2ar(sd, model, latents)
-    out = model.apply(variables, jnp.asarray(latents)[None], deterministic=True)
-    assert np.isfinite(np.asarray(out)).all()
 
-    sd["extra.weight"] = np.zeros((3, 3, 3), np.float32)
-    with pytest.raises(ValueError, match="unconverted|no torch tensor"):
-        convert_torch_taco2ar(sd, model, latents)
+def test_convert_rejects_unknown_and_leftover_tensors():
+    torch = pytest.importorskip("torch")
+    model = _tiny_model()
+    torch.manual_seed(0)
+    replica = _torch_replica(torch, model)
+    sd = {k: v for k, v in replica.state_dict().items()}
+
+    # GroupNorm model cannot accept BN running stats
+    with pytest.raises(ValueError, match="batch_norm"):
+        convert_torch_taco2ar(sd, model)
+
+    bn_model = model.clone(norm_type="batch_norm")
+    extra = dict(sd)
+    extra["decoder.extra.weight"] = torch.zeros(3, 3)
+    with pytest.raises(ValueError, match="unconverted"):
+        convert_torch_taco2ar(extra, bn_model)
+
+    missing = dict(sd)
+    missing.pop("encoder.blstm.weight_ih_l0_reverse")
+    with pytest.raises(KeyError, match="weight_ih_l0_reverse"):
+        convert_torch_taco2ar(missing, bn_model)
 
 
 def test_feat2wav_uses_trg_stats_denorm():
