@@ -140,8 +140,17 @@ def main():
         )
         logging.info("initialized from %s", args.init_checkpoint)
 
+    # tensor_parallel: see bin/vc_train.py (Megatron-style param specs)
+    tp = int(config.get("tensor_parallel", 1) or 1)
+    mesh = None
+    if len(jax.devices()) > 1:
+        mesh = get_mesh(model=tp)
+        if tp > 1:
+            from ..parallel import shard_params
+
+            params = shard_params(params, mesh)
+            logging.info("tensor parallelism: model axis = %d", tp)
     state = TrainState.create(params, tx)
-    mesh = get_mesh() if len(jax.devices()) > 1 else None
     trainer_class = get_trainer_class(config.get("trainer_type", "ARTTSTrainer"))
     trainer = trainer_class(
         model, state, criterion, config, train_loader, dev_loader, mesh=mesh

@@ -204,8 +204,21 @@ def main():
             params = restored["model"]
         logging.info("initialized from %s", args.init_checkpoint)
 
+    # tensor_parallel: N shards the wide kernels over the mesh's 'model'
+    # axis (Megatron-style specs, parallel/tp.py); XLA inserts the
+    # all-reduces from the sharding annotations. DP spans the rest. Params
+    # are sharded BEFORE the optimizer init so the Adam moments inherit the
+    # same layout.
+    tp = int(config.get("tensor_parallel", 1) or 1)
+    mesh = None
+    if len(jax.devices()) > 1:
+        mesh = get_mesh(model=tp)
+        if tp > 1:
+            from ..parallel import shard_params
+
+            params = shard_params(params, mesh)
+            logging.info("tensor parallelism: model axis = %d", tp)
     state = TrainState.create(params, tx)
-    mesh = get_mesh() if len(jax.devices()) > 1 else None
 
     trainer_class = get_trainer_class(config.get("trainer_type", "ARVCTrainer"))
     trainer = trainer_class(

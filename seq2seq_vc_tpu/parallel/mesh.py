@@ -9,9 +9,11 @@ devices, shard the batch over a ``data`` axis, and let pjit insert the
 gradient all-reduce over ICI. ``jax.process_index() == 0`` replaces the
 rank-0 gate; no launcher or rendezvous code is needed.
 
-The mesh always carries a ``model`` axis as well so tensor-parallel layouts
-can be expressed with the same API (reference has none — models are small —
-but the framework supports it; see §2.10 of SURVEY.md).
+The mesh always carries a ``model`` axis; tensor parallelism is activated
+by the Megatron-style parameter sharding rules in ``parallel/tp.py``
+(``tensor_parallel: N`` in the train config) — see
+``tests/test_tensor_parallel.py`` for the equivalence proof on the fake
+mesh. The reference has no TP at all (SURVEY.md §2.10).
 """
 
 from __future__ import annotations
@@ -26,24 +28,26 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def get_mesh(
     data: Optional[int] = None,
     model: int = 1,
+    seq: int = 1,
     devices: Optional[Sequence[Any]] = None,
 ) -> Mesh:
-    """Build a ``(data, model)`` mesh over the available devices.
+    """Build a ``(data, model, seq)`` mesh over the available devices.
 
     Args:
-        data: Size of the data axis. Defaults to ``n_devices // model``.
+        data: Size of the data axis. Defaults to ``n_devices // (model*seq)``.
         model: Size of the model (tensor-parallel) axis.
+        seq: Size of the sequence-parallel axis (ring attention).
         devices: Devices to use. Defaults to ``jax.devices()``.
     """
     if devices is None:
         devices = jax.devices()
     n = len(devices)
     if data is None:
-        data = n // model
-    if data * model != n:
-        raise ValueError(f"mesh {data}x{model} != {n} devices")
-    arr = np.asarray(devices).reshape(data, model)
-    return Mesh(arr, axis_names=("data", "model"))
+        data = n // (model * seq)
+    if data * model * seq != n:
+        raise ValueError(f"mesh {data}x{model}x{seq} != {n} devices")
+    arr = np.asarray(devices).reshape(data, model, seq)
+    return Mesh(arr, axis_names=("data", "model", "seq"))
 
 
 def data_sharding(mesh: Mesh) -> NamedSharding:
