@@ -161,9 +161,30 @@ def main():
     )
     logging.info("train utts = %d, dev utts = %d", len(train_ds), len(dev_ds))
 
+    # parallel layout: data x tensor x sequence. sequence_parallel shards
+    # the conformer attention time axis over the mesh 'seq' axis with ring
+    # attention (parallel/ring_attention.py) — the Hi-Fi-CAPTAIN 48 kHz OOM
+    # scenario (reference egs/hificaptain_jp/vc2/README.md); pad_multiple
+    # must keep the padded time axes divisible by it.
+    tp = int(config.get("tensor_parallel", 1) or 1)
+    sp = int(config.get("sequence_parallel", 1) or 1)
+    if tp > 1 and sp > 1:
+        # composing the two is untested: an idle model axis next to
+        # seq-sharded conv activations over-reduces kernel grads (see
+        # tests/test_sequence_parallel.py) — pick one per run for now
+        raise NotImplementedError(
+            "tensor_parallel and sequence_parallel cannot be combined yet"
+        )
+    mesh = None
+    if len(jax.devices()) > 1 or tp > 1 or sp > 1:
+        mesh = get_mesh(model=tp, seq=sp)
+
     # model
     model_class = get_model_class(config["model_type"])
-    model = model_class(**config["model_params"])
+    model_kwargs = dict(config["model_params"])
+    if sp > 1:
+        model_kwargs["sp_mesh"] = mesh
+    model = model_class(**model_kwargs)
 
     # criterions
     criterion = {
@@ -204,20 +225,17 @@ def main():
             params = restored["model"]
         logging.info("initialized from %s", args.init_checkpoint)
 
-    # tensor_parallel: N shards the wide kernels over the mesh's 'model'
-    # axis (Megatron-style specs, parallel/tp.py); XLA inserts the
-    # all-reduces from the sharding annotations. DP spans the rest. Params
-    # are sharded BEFORE the optimizer init so the Adam moments inherit the
-    # same layout.
-    tp = int(config.get("tensor_parallel", 1) or 1)
-    mesh = None
-    if len(jax.devices()) > 1:
-        mesh = get_mesh(model=tp)
-        if tp > 1:
-            from ..parallel import shard_params
+    # tensor_parallel: Megatron-style kernel sharding over the mesh 'model'
+    # axis (parallel/tp.py); XLA inserts the all-reduces from the sharding
+    # annotations. Params are sharded BEFORE the optimizer init so the Adam
+    # moments inherit the same layout.
+    if mesh is not None and tp > 1:
+        from ..parallel import shard_params
 
-            params = shard_params(params, mesh)
-            logging.info("tensor parallelism: model axis = %d", tp)
+        params = shard_params(params, mesh)
+        logging.info("tensor parallelism: model axis = %d", tp)
+    if sp > 1:
+        logging.info("sequence parallelism: seq axis = %d", sp)
     state = TrainState.create(params, tx)
 
     trainer_class = get_trainer_class(config.get("trainer_type", "ARVCTrainer"))

@@ -118,6 +118,11 @@ class AASVC(nn.Module):
     # rematerialize conformer layers in backward (jax.checkpoint): trades
     # recompute FLOPs for HBM traffic on the bandwidth-bound train step
     remat_layers: bool = False
+    # sequence parallelism: mesh whose 'seq' axis shards the conformer time
+    # axes with ring attention (set by vc_train from the sequence_parallel
+    # config key; targets the Hi-Fi-CAPTAIN 48 kHz OOM scenario)
+    sp_mesh: Any = None
+    sp_axis: str = "seq"
 
     @property
     def _dtype(self):
@@ -155,6 +160,8 @@ class AASVC(nn.Module):
             attention_backend=self.attention_backend,
             dtype=self._dtype,
             remat=self.remat_layers,
+            sp_mesh=self.sp_mesh,
+            sp_axis=self.sp_axis,
         )
         if self.spk_embed_dim is not None:
             self.projection = nn.Dense(self.adim)
@@ -207,6 +214,8 @@ class AASVC(nn.Module):
             attention_backend=self.attention_backend,
             dtype=self._dtype,
             remat=self.remat_layers,
+            sp_mesh=self.sp_mesh,
+            sp_axis=self.sp_axis,
         )
         self.feat_out = nn.Dense(self.odim * self.decoder_reduction_factor)
         if self.postnet_layers > 0:

@@ -180,6 +180,12 @@ class RelPositionMultiHeadedAttention(nn.Module):
     backend: str = "xla"  # 'flash' uses the Pallas rel-pos kernel
     dtype: Any = None  # computation dtype; scores/softmax stay fp32
     flash_train_min_len: int = FLASH_TRAIN_MIN_LEN  # see FLASH_TRAIN_MIN_LEN
+    # sequence parallelism: when a mesh is given, the attention runs as a
+    # shard_map'd ring over the mesh's `sp_axis` (time axis sharded; K/V
+    # blocks rotate over ICI) — parallel/ring_attention.ring_rel_attention.
+    # New-style rel-pos only; the time axis must divide by the axis size.
+    sp_mesh: Any = None
+    sp_axis: str = "seq"
 
     @nn.compact
     def __call__(
@@ -218,6 +224,65 @@ class RelPositionMultiHeadedAttention(nn.Module):
 
         q_u = q + pos_bias_u[None, :, None, :].astype(q.dtype)
         q_v = q + pos_bias_v[None, :, None, :].astype(q.dtype)
+
+        if (
+            self.sp_mesh is not None
+            and not self.zero_triu
+            and not return_weights
+            and (mask is None or mask.ndim == 2 or (mask.ndim == 3 and mask.shape[1] == 1))
+        ):
+            if self.legacy:
+                raise NotImplementedError(
+                    "sequence_parallel supports the new-style rel-pos "
+                    "attention only (conformer_rel_pos_type: latest)"
+                )
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            from ..parallel.ring_attention import ring_rel_attention
+
+            if mask is None:
+                kv_lens = jnp.full((key.shape[0],), key.shape[1], jnp.int32)
+            else:
+                m2 = mask if mask.ndim == 2 else mask[:, 0, :]
+                kv_lens = m2.sum(-1).astype(jnp.int32)
+            rate = 0.0 if deterministic else float(self.dropout_rate)
+            if rate > 0.0:
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (1,), 0, np.iinfo(np.int32).max,
+                    dtype=jnp.int32,
+                )
+            else:
+                seed = jnp.zeros((1,), jnp.int32)
+            sp_ax = self.sp_axis
+
+            def _ring(qu, qv, k_, v_, p_, lens_, seed_):
+                return ring_rel_attention(
+                    qu, qv, k_, v_, p_, lens_, axis_name=sp_ax,
+                    dropout_rate=rate, dropout_seed=seed_,
+                )
+
+            # every mesh axis must be mentioned in the specs: an unmentioned
+            # axis with check_rep=False over-counts cotangents by its size
+            # (observed 2x grads with an idle model axis). Heads shard over
+            # 'model' (TP x SP composition), batch over 'data'.
+            model_size = self.sp_mesh.shape.get("model", 1)
+            if self.n_head % model_size != 0:
+                raise ValueError(
+                    f"aheads ({self.n_head}) must divide by the mesh model "
+                    f"axis ({model_size}) when sequence_parallel is on"
+                )
+            tspec = P("data", "model", sp_ax, None)
+            out = shard_map(
+                _ring,
+                mesh=self.sp_mesh,
+                in_specs=(tspec, tspec, tspec, tspec, P("model"), P("data"), P()),
+                out_specs=tspec,
+                check_rep=False,
+            )(q_u, q_v, k, v, p[0], kv_lens, seed)
+            return nn.Dense(self.n_feat, dtype=self.dtype, name="linear_out")(
+                _merge_heads(out)
+            )
 
         if (
             self.backend == "flash"

@@ -117,6 +117,9 @@ class ConformerEncoderLayer(nn.Module):
     zero_triu: bool = False
     attention_backend: str = "xla"
     dtype: Any = None  # computation dtype (LN statistics stay fp32)
+    # sequence parallelism (ring attention over the mesh 'seq' axis)
+    sp_mesh: Any = None
+    sp_axis: str = "seq"
 
     def setup(self):
         if self.selfattention_layer_type == "selfattn":
@@ -128,13 +131,15 @@ class ConformerEncoderLayer(nn.Module):
             self.self_attn = RelPositionMultiHeadedAttention(
                 self.n_head, self.size, self.attention_dropout_rate,
                 zero_triu=self.zero_triu, backend=self.attention_backend,
-                dtype=self.dtype,
+                dtype=self.dtype, sp_mesh=self.sp_mesh, sp_axis=self.sp_axis,
             )
         elif self.selfattention_layer_type == "legacy_rel_selfattn":
+            # sp fields forwarded so a sequence_parallel request on the
+            # legacy style fails loudly instead of silently running dense
             self.self_attn = LegacyRelPositionMultiHeadedAttention(
                 self.n_head, self.size, self.attention_dropout_rate,
                 zero_triu=self.zero_triu, backend=self.attention_backend,
-                dtype=self.dtype,
+                dtype=self.dtype, sp_mesh=self.sp_mesh, sp_axis=self.sp_axis,
             )
         else:
             raise ValueError(self.selfattention_layer_type)
@@ -245,6 +250,11 @@ class ConformerEncoder(nn.Module):
     # recompute FLOPs for HBM traffic — a win when the step is
     # bandwidth-bound (see scripts/profile_train.py)
     remat: bool = False
+    # sequence parallelism: shard_map ring attention over this mesh's
+    # sp_axis; activations are sharding-constrained to (data, seq) between
+    # layers so the whole stack partitions over time
+    sp_mesh: Any = None
+    sp_axis: str = "seq"
 
     @property
     def conv_subsampling_factor(self) -> int:
@@ -296,6 +306,8 @@ class ConformerEncoder(nn.Module):
                 self.zero_triu,
                 self.attention_backend,
                 dtype=self.dtype,
+                sp_mesh=self.sp_mesh,
+                sp_axis=self.sp_axis,
             )
             for _ in range(self.num_blocks)
         ]
@@ -327,10 +339,20 @@ class ConformerEncoder(nn.Module):
         if self.dtype is not None:
             xs = xs.astype(self.dtype)
         attn_mask = None if masks is None else masks[:, None, :]
+        sp_constraint = None
+        if self.sp_mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sp_constraint = NamedSharding(
+                self.sp_mesh, P("data", self.sp_axis, None)
+            )
+            xs = jax.lax.with_sharding_constraint(xs, sp_constraint)
         for layer in self.layers:
             # positional args: under remat, `deterministic` (argnum 4) is a
             # static argument of the checkpointed call
             xs = layer(xs, attn_mask, pos_emb, deterministic)
+            if sp_constraint is not None:
+                xs = jax.lax.with_sharding_constraint(xs, sp_constraint)
         if self.normalize_before:
             xs = self.after_norm(xs)
         return xs.astype(jnp.float32), masks
