@@ -143,14 +143,18 @@ class ConformerEncoderLayer(nn.Module):
             )
         else:
             raise ValueError(self.selfattention_layer_type)
+        # conformer passes Swish into the linear-flavor FFN (reference
+        # conformer/encoder.py:102,181-188); conv flavors keep internal ReLU
         self.feed_forward = _positionwise(
             self.positionwise_layer_type, self.linear_units,
             self.dropout_rate, self.positionwise_conv_kernel_size, self.dtype,
+            activation="swish",
         )
         if self.macaron_style:
             self.feed_forward_macaron = _positionwise(
                 self.positionwise_layer_type, self.linear_units,
                 self.dropout_rate, self.positionwise_conv_kernel_size, self.dtype,
+                activation="swish",
             )
             self.norm_ff_macaron = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype)
         if self.use_cnn_module:

@@ -38,11 +38,15 @@ class PositionwiseFeedForward(nn.Module):
     hidden_units: int
     dropout_rate: float = 0.1
     dtype: Any = None  # computation dtype (params stay fp32)
+    # 'relu' (transformer default) or 'swish' (the conformer passes Swish
+    # into this layer — reference conformer/encoder.py:102,181-188)
+    activation: str = "relu"
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         d = x.shape[-1]
-        h = nn.relu(nn.Dense(self.hidden_units, dtype=self.dtype)(x))
+        act = nn.swish if self.activation == "swish" else nn.relu
+        h = act(nn.Dense(self.hidden_units, dtype=self.dtype)(x))
         h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
         return nn.Dense(d, dtype=self.dtype)(h)
 
@@ -86,10 +90,15 @@ class Conv1dLinear(nn.Module):
 
 
 def _positionwise(
-    kind: str, linear_units: int, dropout_rate: float, kernel: int, dtype: Any = None
+    kind: str, linear_units: int, dropout_rate: float, kernel: int, dtype: Any = None,
+    activation: str = "relu",
 ):
+    # `activation` only affects the 'linear' flavor: the conv flavors have
+    # hard-coded internal ReLUs in the reference regardless of caller
     if kind == "linear":
-        return PositionwiseFeedForward(linear_units, dropout_rate, dtype=dtype)
+        return PositionwiseFeedForward(
+            linear_units, dropout_rate, dtype=dtype, activation=activation
+        )
     if kind == "conv1d":
         return MultiLayeredConv1d(linear_units, kernel, dropout_rate, dtype=dtype)
     if kind == "conv1d-linear":
