@@ -23,6 +23,8 @@ srcspk=TXHC                       # L2 (accented) speaker
 trgspk=bdl                        # native reference speaker
 num_train=1032
 feat=ppg_sxliu
+ppg_upstream_ckpt=
+ppg_featurizer_ckpt=
 ppg_extract_cmd=""                # external hook: cmd <wav.scp> <outdir>
 pretrained_model_checkpoint=downloads/ljspeech_transformer_tts_aept/checkpoint-50000steps.ckpt
 
@@ -59,10 +61,26 @@ if [ "$stage" -le 1 ] && [ "$stop_stage" -ge 1 ]; then
       elif [ -n "$ppg_extract_cmd" ]; then
         mkdir -p "$raw"
         $ppg_extract_cmd "data/$spk/${set}_wav.scp" "$raw"
+      elif [ -n "$ppg_upstream_ckpt" ] && [ -n "$ppg_featurizer_ckpt" ]; then
+        # native extraction (encoders/ppg.py): conformer upstream +
+        # s3prl featurizer, both from local torch checkpoints
+        mkdir -p "$raw"
+        python3 -m seq2seq_vc_tpu.bin.preprocess \
+          --wav-scp "data/$spk/${set}_wav.scp" --dumpdir "$raw" \
+          --config <(python3 - <<PYEOF
+import yaml, sys
+conf = yaml.safe_load(open("$conf"))
+conf["feat_list"] = {"mel": {}, "ppg_sxliu": {
+    "checkpoint": "$ppg_featurizer_ckpt",
+    "upstream_checkpoint": "$ppg_upstream_ckpt"}}
+sys.stdout.write(yaml.safe_dump(conf))
+PYEOF
+)
       else
-        echo "GATED: PPG extraction needs the external s3prl ppg_sxliu upstream."
-        echo "Precompute <utt>.h5:$feat dumps into $raw (any connected machine),"
-        echo "or pass --ppg_extract_cmd 'your-extractor'."
+        echo "PPG extraction needs checkpoints: pass --ppg_upstream_ckpt and"
+        echo "--ppg_featurizer_ckpt (native extractor, encoders/ppg.py), or"
+        echo "precompute <utt>.h5:$feat dumps into $raw, or pass"
+        echo "--ppg_extract_cmd 'your-extractor'."
         exit 1
       fi
     done

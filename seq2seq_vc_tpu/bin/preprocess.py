@@ -7,10 +7,11 @@ on-device extractor (``dsp/features.py``), so feature extraction runs on
 TPU; silence trimming is a host-side RMS gate matching librosa.effects.trim
 semantics.
 
-Feature types: ``mel`` (jitted on-device extractor) and ``encodec``
-(native flax SEANet port, ``encoders/encodec.py``; needs a torch checkpoint
-path in the config). s3prl PPG upstreams remain gated until their encoders
-are available in-image; the CLI rejects them clearly.
+Feature types: ``mel`` (jitted on-device extractor), ``encodec`` (native
+flax SEANet port, ``encoders/encodec.py``), ``hubert`` (native flax
+HuBERT-soft, ``urhythmic/hubert.py``), and ``ppg_sxliu`` (native conformer
+ASR upstream + s3prl featurizer, ``encoders/ppg.py``) — each needs its
+torch checkpoint path(s) in the config (no egress in this image).
 """
 
 from __future__ import annotations
@@ -145,11 +146,39 @@ def main():
                 )
             )
         hubert = (h_apply, hub_params, use_units)
-    unsupported = [k for k in feat_list if k not in ("mel", "encodec", "hubert")]
+    ppg = None
+    if "ppg_sxliu" in feat_list:
+        # native conformer-ASR upstream + s3prl featurizer weights
+        # (encoders/ppg.py replaces the reference's s3prl-vc + s3prl stack,
+        # bin/preprocess.py:184-196). `checkpoint:` is the s3prl-vc
+        # downstream ckpt carrying the trained featurizer (reference
+        # semantics); `upstream_checkpoint:` is the PPG model weights file —
+        # the reference auto-downloads it from the s3prl hub, which has no
+        # native equivalent, so it must be given explicitly.
+        pcfg = feat_list["ppg_sxliu"] or {}
+        ckpt = pcfg.get("checkpoint")
+        up_ckpt = pcfg.get("upstream_checkpoint")
+        if not ckpt or not up_ckpt:
+            raise ValueError(
+                "feat_list.ppg_sxliu needs `checkpoint:` (s3prl-vc downstream "
+                "ckpt with the trained featurizer) AND `upstream_checkpoint:` "
+                "(the espnet-style PPG conformer weights; the reference "
+                "downloads these from the s3prl hub — no egress here)"
+            )
+        from ..encoders.ppg import build_extractor
+
+        ppg = build_extractor(
+            up_ckpt, ckpt, sample_rate=16000,
+            input_dim=pcfg.get("input_dim"),
+        )
+    unsupported = [
+        k for k in feat_list if k not in ("mel", "encodec", "hubert", "ppg_sxliu")
+    ]
     if unsupported:
         raise NotImplementedError(
             f"feature types {unsupported} need external encoders not present "
-            "in this image; supported here: 'mel', 'encodec', 'hubert'"
+            "in this image; supported here: 'mel', 'encodec', 'hubert', "
+            "'ppg_sxliu'"
         )
     extractor = LogMelExtractor(
         sampling_rate=sr,
@@ -223,6 +252,9 @@ def main():
             padded = np.pad(wav16, (0, -len(wav16) % bucket))
             feat = np.asarray(h_apply(hub_params, padded[None])[0], np.float32)
             write_hdf5(out, "hubert", feat[:n_frames])
+        if ppg is not None:
+            wav16 = resample(audio, sr, 16000)
+            write_hdf5(out, "ppg_sxliu", ppg(wav16).astype(np.float32))
 
 
 if __name__ == "__main__":
