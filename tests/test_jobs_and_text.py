@@ -44,6 +44,89 @@ def test_run_jobs_propagates_failure(tmp_path):
     assert "failed" in ret.stderr
 
 
+def _fake_scheduler(tmp_path, name, task_var, array_flag_parser):
+    """A stand-in sbatch/qsub on PATH: runs every array task locally with
+    the scheduler's task-id env var set, returns nonzero if any fails —
+    the contract run_jobs.py's cluster backends rely on."""
+    bindir = tmp_path / "bin"
+    bindir.mkdir(exist_ok=True)
+    script = bindir / name
+    script.write_text(
+        "#!/usr/bin/env python3\n"
+        "import os, subprocess, sys\n"
+        "args = sys.argv[1:]\n"
+        f"lo, hi = {array_flag_parser}\n"
+        "path = args[-1]\n"
+        "rc = 0\n"
+        "for t in range(lo, hi + 1):\n"
+        "    env = dict(os.environ)\n"
+        f"    env['{task_var}'] = str(t)\n"
+        "    r = subprocess.run(['bash', path], env=env).returncode\n"
+        "    rc = rc or r\n"
+        "sys.exit(rc)\n"
+    )
+    script.chmod(0o755)
+    return bindir
+
+
+def test_run_jobs_slurm_backend(tmp_path):
+    """--backend slurm submits ONE sbatch --wait array job whose tasks
+    substitute JOB from SLURM_ARRAY_TASK_ID (= slurm.pl semantics)."""
+    import os
+
+    bindir = _fake_scheduler(
+        tmp_path, "sbatch", "SLURM_ARRAY_TASK_ID",
+        "[int(x) for x in next(a for a in args if a.startswith('--array='))"
+        ".split('=')[1].split('%')[0].split('-')]",
+    )
+    out = tmp_path / "shard.JOB.txt"
+    log = tmp_path / "log.JOB.log"
+    env = dict(os.environ, PATH=f"{bindir}:{os.environ['PATH']}")
+    ret = subprocess.run(
+        [sys.executable, f"{REPO}/utils/run_jobs.py", "--backend", "slurm",
+         "JOB=1:3", str(log), f"echo shard JOB > {out}"],
+        capture_output=True, text=True, env=env,
+    )
+    assert ret.returncode == 0, ret.stderr
+    for i in (1, 2, 3):
+        assert (tmp_path / f"shard.{i}.txt").read_text().strip() == f"shard {i}"
+        assert (tmp_path / f"log.{i}.log").exists()
+
+
+def test_run_jobs_sge_backend_and_failure(tmp_path):
+    import os
+
+    bindir = _fake_scheduler(
+        tmp_path, "qsub", "SGE_TASK_ID",
+        "[int(x) for x in args[args.index('-t') + 1].split('-')]",
+    )
+    log = tmp_path / "f.JOB.log"
+    env = dict(os.environ, PATH=f"{bindir}:{os.environ['PATH']}",
+               S2S_JOB_BACKEND="sge")
+    ret = subprocess.run(
+        [sys.executable, f"{REPO}/utils/run_jobs.py", "JOB=1:2", str(log),
+         "test JOB -eq 1"],
+        capture_output=True, text=True, env=env,
+    )
+    assert ret.returncode != 0
+    assert "failed" in ret.stderr
+    # shard 1 succeeded and its log recorded code 0
+    assert "code 0" in (tmp_path / "f.1.log").read_text()
+    assert "code 1" in (tmp_path / "f.2.log").read_text()
+
+
+def test_run_jobs_cluster_backend_missing_cli(tmp_path):
+    log = tmp_path / "x.log"
+    ret = subprocess.run(
+        [sys.executable, f"{REPO}/utils/run_jobs.py", "--backend", "slurm",
+         str(log), "true"],
+        capture_output=True, text=True,
+        env={"PATH": "/usr/bin:/bin", "HOME": "/root"},
+    )
+    assert ret.returncode == 127
+    assert "sbatch" in ret.stderr
+
+
 def test_split_scp(tmp_path):
     scp = tmp_path / "wav.scp"
     scp.write_text("".join(f"utt{i} /x/{i}.wav\n" for i in range(7)))
