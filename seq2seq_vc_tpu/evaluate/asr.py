@@ -46,26 +46,72 @@ def word_error_rate(hyp: str, ref: str) -> float:
 
 
 class ASRTranscriber:
-    """wav2vec2-CTC transcriber (reference uses
-    facebook/wav2vec2-large-960h-lv60-self)."""
+    """wav2vec2-CTC transcriber (reference uses torch
+    facebook/wav2vec2-large-960h-lv60-self, ``evaluate/asr.py:6-15``).
 
-    def __init__(self, model_path: str = "facebook/wav2vec2-large-960h-lv60-self", device: str = "cpu"):
-        try:
-            import torch  # noqa: F401
-            from transformers import Wav2Vec2ForCTC, Wav2Vec2Processor
-        except ImportError as e:  # pragma: no cover
-            raise ImportError("transformers/torch required for ASR evaluation") from e
-        self.processor = Wav2Vec2Processor.from_pretrained(model_path)
-        self.model = Wav2Vec2ForCTC.from_pretrained(model_path).to(device).eval()
+    Prefers the FLAX model (runs on the TPU; torch checkpoints convert via
+    ``from_pt=True``) and falls back to torch-cpu when the flax classes are
+    unavailable. ``model``/``processor`` can be injected directly (tests,
+    pre-loaded models).
+    """
+
+    def __init__(
+        self,
+        model_path: str = "facebook/wav2vec2-large-960h-lv60-self",
+        device: str = "cpu",
+        backend: str = "auto",  # 'flax' | 'torch' | 'auto'
+        model=None,
+        processor=None,
+    ):
         self.device = device
+        if processor is None:
+            from transformers import Wav2Vec2Processor
+
+            processor = Wav2Vec2Processor.from_pretrained(model_path)
+        self.processor = processor
+        if model is not None:
+            self.model = model
+            self.backend = (
+                "flax" if model.__class__.__name__.startswith("Flax") else "torch"
+            )
+            return
+        if backend in ("auto", "flax"):
+            try:
+                from transformers import FlaxWav2Vec2ForCTC
+
+                try:
+                    self.model = FlaxWav2Vec2ForCTC.from_pretrained(model_path)
+                except (OSError, EnvironmentError):
+                    # torch-only checkpoint dir: convert weights on load
+                    self.model = FlaxWav2Vec2ForCTC.from_pretrained(
+                        model_path, from_pt=True
+                    )
+                self.backend = "flax"
+                return
+            except Exception:
+                if backend == "flax":
+                    raise
+        import torch  # noqa: F401
+        from transformers import Wav2Vec2ForCTC
+
+        self.model = Wav2Vec2ForCTC.from_pretrained(model_path).to(device).eval()
+        self.backend = "torch"
 
     def transcribe(self, audio, sr: int = 16000) -> str:
-        import torch
-
         inputs = self.processor(
-            audio, sampling_rate=sr, return_tensors="pt", padding=True
+            audio, sampling_rate=sr, return_tensors="np", padding=True
         )
-        with torch.no_grad():
-            logits = self.model(inputs.input_values.to(self.device)).logits
-        ids = logits.argmax(dim=-1)
+        if self.backend == "flax":
+            logits = self.model(inputs.input_values).logits
+            import numpy as np
+
+            ids = np.asarray(logits).argmax(axis=-1)
+        else:
+            import torch
+
+            with torch.no_grad():
+                logits = self.model(
+                    torch.from_numpy(inputs.input_values).to(self.device)
+                ).logits
+            ids = logits.argmax(dim=-1)
         return self.processor.batch_decode(ids)[0]

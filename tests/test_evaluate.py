@@ -292,3 +292,45 @@ def test_mcd_f0_quantitative_ground_truth():
     assert abs(m["F0RMSE"] - 10.0) < 1.5, m
     assert m["F0CORR"] > 0.95
     assert m["DDUR"] == 0.0
+
+
+def test_asr_transcriber_flax_backend(tmp_path):
+    """The transcriber runs the FLAX wav2vec2 (TPU-native path) end to end
+    on a tiny random-init model built fully in-image; greedy CTC decode +
+    processor integration verified without any downloaded weights."""
+    pytest.importorskip("transformers")
+    import json
+
+    from transformers import (
+        FlaxWav2Vec2ForCTC,
+        Wav2Vec2Config,
+        Wav2Vec2CTCTokenizer,
+        Wav2Vec2FeatureExtractor,
+        Wav2Vec2Processor,
+    )
+
+    from seq2seq_vc_tpu.evaluate.asr import ASRTranscriber
+
+    vocab = {"<pad>": 0, "<s>": 1, "</s>": 2, "<unk>": 3, "|": 4,
+             "A": 5, "B": 6, "C": 7}
+    vpath = tmp_path / "vocab.json"
+    vpath.write_text(json.dumps(vocab))
+    tokenizer = Wav2Vec2CTCTokenizer(str(vpath))
+    fe = Wav2Vec2FeatureExtractor(feature_size=1, sampling_rate=16000,
+                                  padding_value=0.0, do_normalize=True,
+                                  return_attention_mask=False)
+    processor = Wav2Vec2Processor(feature_extractor=fe, tokenizer=tokenizer)
+    config = Wav2Vec2Config(
+        vocab_size=len(vocab), hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=64,
+        conv_dim=(16, 16), conv_kernel=(10, 3), conv_stride=(5, 2),
+        num_feat_extract_layers=2, do_stable_layer_norm=True,
+        num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4,
+        feat_extract_norm="layer",  # flax class supports 'layer' only
+    )
+    model = FlaxWav2Vec2ForCTC(config, seed=0)
+    tr = ASRTranscriber(model=model, processor=processor)
+    assert tr.backend == "flax"
+    audio = np.sin(2 * np.pi * 220 * np.arange(3200) / 16000).astype(np.float32)
+    text = tr.transcribe(audio)
+    assert isinstance(text, str)  # random weights -> arbitrary transcript
