@@ -87,13 +87,19 @@ def bench_nar_inference(jax, jnp):
     n_iter = 30
     keys = [jax.random.PRNGKey(10 + i) for i in range(n_iter)]
     _ = np.asarray(keys[-1])  # force key materialization
+    # throughput counts COMPUTED frames (B x max_output_frames x r): shapes
+    # are static under jit, so that is exactly the work the chip did every
+    # call. Counting the random-duration-dependent *valid* lens made the
+    # r1->r2 headline drift partly metric noise — any numerics change
+    # shifts the stochastic duration predictor's random-init outputs.
+    frames_per_call = src_d.shape[0] * 160  # B x max_output_frames (r_d = 1)
     rates = []
     for _pass in range(N_PASSES):
         t0 = time.time()
         lens = None
         for i in range(n_iter):
             src_d, lens = run(params, src_d, slens_d, keys[i])
-        frames_per_call = int(np.asarray(lens).sum())  # terminal host fetch
+        _ = int(np.asarray(lens).sum())  # terminal host fetch
         dt = (time.time() - t0) / n_iter
         rates.append(frames_per_call / dt)
     return median_of(rates)

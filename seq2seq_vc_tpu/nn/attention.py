@@ -19,20 +19,25 @@ import numpy as np
 
 from ..ops.attention import scaled_dot_attention
 
-# Training-path flash dispatch threshold (key length), env-overridable for
-# experiments (S2S_FLASH_TRAIN_MIN_LEN). Measured on v5e
-# (scripts/profile_train.py, bf16): at T=512 the full AAS-VC step is
-# 82.8 ms with XLA attention vs 111.6 ms with the flash fwd+bwd kernels,
-# and at T=1024 103 ms vs 158 ms — XLA's fused dense attention wins while
-# the score matrices still fit comfortably in HBM, because the FA2-style
-# backward recompute trades ~2x matmul FLOPs for bandwidth the step
-# doesn't need at these sizes. The flash path becomes the right choice
-# when the (B, H, T, T) score/bd tensors approach HBM limits, so training
-# only routes to it for long sequences; inference (deterministic) always
-# uses it — the NAR decode bench is fastest through the flash kernels.
+# Flash dispatch threshold (key length), env-overridable for experiments
+# (S2S_FLASH_MIN_LEN). Measured on v5e: TRAINING (scripts/profile_train.py,
+# bf16) — at T=512 the full AAS-VC step is 82.8 ms with XLA attention vs
+# 111.6 ms with the flash fwd+bwd kernels, at T=1024 103 vs 158 ms;
+# INFERENCE (scripts/bench_ablate.py, round 3) — the NAR decode bench runs
+# 177.6k mel-f/s through XLA vs 139.3k through the flash kernels (latest
+# rel-pos; legacy 174.2k vs 127.4k). XLA's fused dense attention wins in
+# BOTH modes while the score matrices fit comfortably in HBM; the flash
+# kernels are the long-context path where the (B, H, T, T)/(B, H, T, 2T-1)
+# tensors approach HBM limits, so `attention_backend: flash` routes to
+# them only at T >= FLASH_MIN_LEN regardless of train/inference mode.
 import os as _os
 
-FLASH_TRAIN_MIN_LEN = int(_os.environ.get("S2S_FLASH_TRAIN_MIN_LEN", "3072"))
+FLASH_MIN_LEN = int(
+    _os.environ.get(
+        "S2S_FLASH_MIN_LEN", _os.environ.get("S2S_FLASH_TRAIN_MIN_LEN", "3072")
+    )
+)
+FLASH_TRAIN_MIN_LEN = FLASH_MIN_LEN  # back-compat alias
 
 
 def _split_heads(x: jnp.ndarray, n_head: int) -> jnp.ndarray:
@@ -72,9 +77,9 @@ class MultiHeadedAttention(nn.Module):
     # computation dtype for the projections and the AV matmul; scores and
     # softmax always accumulate in fp32 (params stay fp32 regardless)
     dtype: Any = None
-    # min key length for the flash path in TRAINING (non-deterministic)
-    # calls; see FLASH_TRAIN_MIN_LEN for the measurement behind the default
-    flash_train_min_len: int = FLASH_TRAIN_MIN_LEN
+    # min key length for the flash path (train AND inference); see
+    # FLASH_MIN_LEN for the measurements behind the default
+    flash_train_min_len: int = FLASH_MIN_LEN
 
     def setup(self):
         self.linear_q = nn.Dense(self.n_feat, dtype=self.dtype)
@@ -102,7 +107,7 @@ class MultiHeadedAttention(nn.Module):
         if (
             self.backend == "flash"
             and not return_weights
-            and (deterministic or key.shape[1] >= self.flash_train_min_len)
+            and key.shape[1] >= self.flash_train_min_len
             and (mask is None or mask.ndim == 2 or (mask.ndim == 3 and mask.shape[1] == 1))
         ):
             from ..ops.flash_attention import flash_attention
@@ -179,7 +184,7 @@ class RelPositionMultiHeadedAttention(nn.Module):
     legacy: bool = False
     backend: str = "xla"  # 'flash' uses the Pallas rel-pos kernel
     dtype: Any = None  # computation dtype; scores/softmax stay fp32
-    flash_train_min_len: int = FLASH_TRAIN_MIN_LEN  # see FLASH_TRAIN_MIN_LEN
+    flash_train_min_len: int = FLASH_MIN_LEN  # see FLASH_MIN_LEN (both modes)
     # sequence parallelism: when a mesh is given, the attention runs as a
     # shard_map'd ring over the mesh's `sp_axis` (time axis sharded; K/V
     # blocks rotate over ICI) — parallel/ring_attention.ring_rel_attention.
@@ -288,7 +293,7 @@ class RelPositionMultiHeadedAttention(nn.Module):
             self.backend == "flash"
             and not self.zero_triu
             and not return_weights
-            and (deterministic or key.shape[1] >= self.flash_train_min_len)
+            and key.shape[1] >= self.flash_train_min_len
             and (mask is None or mask.ndim == 2 or (mask.ndim == 3 and mask.shape[1] == 1))
         ):
             from ..ops.flash_attention import rel_flash_attention

@@ -206,13 +206,18 @@ class EncoderLayer(nn.Module):
     selfattention_layer_type: str = "selfattn"
     stochastic_depth_rate: float = 0.0
     attention_backend: str = "xla"
+    flash_min_len: int = -1  # <0: module default (see nn/attention.py)
     dtype: Any = None  # computation dtype (LN stats stay fp32)
 
     def setup(self):
+        extra = (
+            {} if self.flash_min_len < 0
+            else {"flash_train_min_len": self.flash_min_len}
+        )
         if self.selfattention_layer_type == "selfattn":
             self.self_attn = MultiHeadedAttention(
                 self.n_head, self.size, self.attention_dropout_rate,
-                backend=self.attention_backend, dtype=self.dtype,
+                backend=self.attention_backend, dtype=self.dtype, **extra,
             )
         elif self.selfattention_layer_type == "rel_selfattn":
             self.self_attn = RelPositionMultiHeadedAttention(
@@ -302,7 +307,8 @@ class Encoder(nn.Module):
     padding_idx: int = 0
     stochastic_depth_rate: float = 0.0
     init_enc_alpha: float = 1.0
-    attention_backend: str = "xla"  # 'flash' uses the Pallas kernel at inference
+    attention_backend: str = "xla"  # 'flash' = Pallas kernels at long T
+    flash_min_len: int = -1  # <0: module default (see nn/attention.py)
     # computation dtype (e.g. jnp.bfloat16): bf16 residual stream, fp32
     # params/LN stats; the final output is cast back to fp32.
     dtype: Any = None
@@ -343,6 +349,7 @@ class Encoder(nn.Module):
                 self.selfattention_layer_type,
                 self.stochastic_depth_rate,
                 self.attention_backend,
+                flash_min_len=self.flash_min_len,
                 dtype=self.dtype,
             )
             for _ in range(self.num_blocks)

@@ -48,7 +48,7 @@ def test_flash_backend_in_encoder():
     params = xla_enc.init(jax.random.PRNGKey(0), x, mask)
     h_xla, _ = xla_enc.apply(params, x, mask)
 
-    flash_enc = Encoder(**kwargs, attention_backend="flash")
+    flash_enc = Encoder(**kwargs, attention_backend="flash", flash_min_len=0)
     import seq2seq_vc_tpu.ops.flash_attention as fa
     orig = fa.flash_attention
     fa.flash_attention = lambda *a, **k: orig(*a, **{**k, "interpret": True},

@@ -166,7 +166,9 @@ def test_legacy_rel_flash_module_parity():
     mask = np.arange(T)[None, :] < np.asarray([T, T - 9])[:, None]
 
     m_x = LegacyRelPositionMultiHeadedAttention(Hh, F, 0.0, backend="xla")
-    m_f = LegacyRelPositionMultiHeadedAttention(Hh, F, 0.0, backend="flash")
+    m_f = LegacyRelPositionMultiHeadedAttention(
+        Hh, F, 0.0, backend="flash", flash_train_min_len=0
+    )
     params = m_x.init(
         jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(x), jnp.asarray(x),
         jnp.asarray(pos), jnp.asarray(mask),
