@@ -503,3 +503,67 @@ def test_duration_predictor_loss_parity():
     crit = get_criterion("DurationPredictorLoss")
     ours = crit(jnp.asarray(d_outs), jnp.asarray(ds), jnp.asarray(ilens))
     np.testing.assert_allclose(float(ours), float(r), rtol=1e-5)
+
+
+# ------------------------------------------------------------ checkpoint CLI
+def test_convert_checkpoint_cli_roundtrip(tmp_path, monkeypatch):
+    """bin/convert_checkpoint maps a reference torch.save checkpoint into a
+    native msgpack checkpoint whose restored weights reproduce the
+    reference forward (the converters double as reference-ckpt loaders)."""
+    import sys
+
+    import yaml
+
+    from seq2seq_vc.models.vtn import VTN as RefVTN
+
+    from seq2seq_vc_tpu.bin.convert_checkpoint import main as convert_main
+    from seq2seq_vc_tpu.core.checkpoint import load_checkpoint
+    from seq2seq_vc_tpu.models import VTN
+
+    cfg = dict(
+        idim=20, odim=20, adim=32, aheads=2, elayers=2, dlayers=2,
+        eunits=64, dunits=64, postnet_layers=2, postnet_chans=16,
+        dprenet_layers=2, dprenet_units=24, dprenet_dropout_rate=0.0,
+        decoder_reduction_factor=2, use_batch_norm=True,
+    )
+    torch.manual_seed(0)
+    ref = RefVTN(**cfg)
+    ref.eval()
+    _randomize_bn_stats(ref, seed=21)
+    torch.save(
+        {"model": ref.state_dict(), "steps": 50000, "epochs": 10},
+        str(tmp_path / "ckpt.pkl"),
+    )
+    model_params = dict(cfg, postnet_norm_type="batch_norm")
+    (tmp_path / "config.yml").write_text(
+        yaml.safe_dump({"model_type": "VTN", "model_params": model_params})
+    )
+    monkeypatch.setattr(
+        sys, "argv",
+        ["convert", "--torch-checkpoint", str(tmp_path / "ckpt.pkl"),
+         "--config", str(tmp_path / "config.yml"),
+         "--outpath", str(tmp_path / "out.ckpt"), "--verbose", "0"],
+    )
+    convert_main()
+
+    m = VTN(**model_params)
+    keys = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    tmpl = m.init(
+        keys, jnp.zeros((1, 9, 20)), jnp.asarray([9]), jnp.zeros((1, 8, 20)),
+        jnp.zeros((1, 8)), jnp.asarray([8]), deterministic=True,
+    )
+    restored = load_checkpoint(str(tmp_path / "out.ckpt"), tmpl)
+    assert restored["steps"] == 50000
+    out = m.apply(
+        restored["model"], jnp.ones((1, 9, 20)), jnp.asarray([9]),
+        jnp.ones((1, 8, 20)), jnp.zeros((1, 8)), jnp.asarray([8]),
+        deterministic=True, rngs={"dropout": jax.random.PRNGKey(2)},
+    )
+    with torch.no_grad():
+        r = ref(
+            torch.ones(1, 9, 20), torch.tensor([9]), torch.ones(1, 8, 20),
+            torch.zeros(1, 8), torch.tensor([8]),
+        )
+    np.testing.assert_allclose(
+        np.asarray(out["after_outs"])[0], r[0][0].numpy(), rtol=1e-4, atol=1e-4
+    )
