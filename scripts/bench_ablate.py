@@ -23,7 +23,8 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def bench_nar(jax, jnp, rel_pos_type, backend, n_pass=3, n_iter=30):
+def bench_nar(jax, jnp, rel_pos_type, backend, n_pass=3, n_iter=30,
+              compute_dtype="float32"):
     from seq2seq_vc_tpu.models import AASVC
 
     model = AASVC(
@@ -32,6 +33,7 @@ def bench_nar(jax, jnp, rel_pos_type, backend, n_pass=3, n_iter=30):
         post_encoder_reduction_factor=4, duration_predictor_type="stochastic",
         conformer_enc_kernel_size=15, conformer_dec_kernel_size=15,
         conformer_rel_pos_type=rel_pos_type, attention_backend=backend,
+        compute_dtype=compute_dtype,
     )
     rng = np.random.default_rng(0)
     B, T = 4, 512
@@ -71,7 +73,7 @@ def bench_nar(jax, jnp, rel_pos_type, backend, n_pass=3, n_iter=30):
         frames = int(np.asarray(lens).sum())
         rates.append(frames / ((time.time() - t0) / n_iter))
     return {
-        "variant": f"nar_{rel_pos_type}_{backend}",
+        "variant": f"nar_{rel_pos_type}_{backend}_{compute_dtype}",
         "mel_frames_per_sec": round(statistics.median(rates), 1),
         "passes": [round(r, 1) for r in rates],
     }
@@ -167,7 +169,9 @@ def bench_train(jax, jnp, rel_pos_type, param_stream, n_pass=3, n_iter=20):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", default="all", choices=["nar", "train", "all"])
+    ap.add_argument(
+        "--mode", default="all", choices=["nar", "train", "all", "nar_bf16"]
+    )
     args = ap.parse_args()
 
     import jax
@@ -175,6 +179,12 @@ def main():
 
     jax.config.update("jax_default_prng_impl", "rbg")
 
+    if args.mode == "nar_bf16":
+        for dt in ("bfloat16", "float32"):
+            print(
+                json.dumps(bench_nar(jax, jnp, "latest", "xla", compute_dtype=dt)),
+                flush=True,
+            )
     if args.mode in ("nar", "all"):
         for rel, backend in [
             ("latest", "xla"), ("latest", "flash"),

@@ -369,6 +369,62 @@ def _prenet(sd: _StateDict, p: str, n_layers: int) -> Dict[str, Any]:
     }
 
 
+def _conv1x1_as_dense(sd: _StateDict, p: str) -> Dict[str, np.ndarray]:
+    """torch Conv1d kernel-1 -> flax Dense (the SDP's pre/proj layers)."""
+    w = sd.pop(f"{p}.weight")  # (out, in, 1)
+    return {"kernel": w[:, :, 0].T, "bias": sd.pop(f"{p}.bias")}
+
+
+def _dds_conv(sd: _StateDict, p: str, n_layers: int) -> Dict[str, Any]:
+    """DilatedDepthSeparableConv (vits/flow.py:130-193): per layer the torch
+    Sequential holds depthwise conv (.0), LN (.2), 1x1 conv (.5), LN (.7)."""
+    out: Dict[str, Any] = {}
+    for i in range(n_layers):
+        out[f"Conv_{2 * i}"] = _conv1d(sd, f"{p}.convs.{i}.0")
+        out[f"LayerNorm_{2 * i}"] = _ln(sd, f"{p}.convs.{i}.2")
+        out[f"Conv_{2 * i + 1}"] = _conv1d(sd, f"{p}.convs.{i}.5")
+        out[f"LayerNorm_{2 * i + 1}"] = _ln(sd, f"{p}.convs.{i}.7")
+    return out
+
+
+def _flow_list(sd: _StateDict, p: str, n_flows: int, dds_layers: int) -> Dict[str, Any]:
+    """[ElementwiseAffine(0), ConvFlow(1), Flip(2), ConvFlow(3), ...] —
+    flips are parameterless, so torch index 2j-1 is flax list entry j."""
+    out: Dict[str, Any] = {
+        "0": {
+            "m": sd.pop(f"{p}.0.m")[:, 0],
+            "logs": sd.pop(f"{p}.0.logs")[:, 0],
+        }
+    }
+    for j in range(1, n_flows + 1):
+        t = 2 * j - 1
+        out[str(j)] = {
+            "input_conv": _conv1d(sd, f"{p}.{t}.input_conv"),
+            "dds_conv": _dds_conv(sd, f"{p}.{t}.dds_conv", dds_layers),
+            "proj": _conv1d(sd, f"{p}.{t}.proj"),
+        }
+    return out
+
+
+def _sdp(sd: _StateDict, p: str, n_flows: int, dds_layers: int) -> Dict[str, Any]:
+    """StochasticDurationPredictor (duration_predictor.py:131-304)."""
+    out: Dict[str, Any] = {
+        "pre": _conv1x1_as_dense(sd, f"{p}.pre"),
+        "dds": _dds_conv(sd, f"{p}.dds", dds_layers),
+        "proj": _conv1x1_as_dense(sd, f"{p}.proj"),
+        "post_pre": _conv1x1_as_dense(sd, f"{p}.post_pre"),
+        "post_dds": _dds_conv(sd, f"{p}.post_dds", dds_layers),
+        "post_proj": _conv1x1_as_dense(sd, f"{p}.post_proj"),
+    }
+    main = _flow_list(sd, f"{p}.flows", n_flows, dds_layers)
+    post = _flow_list(sd, f"{p}.post_flows", n_flows, dds_layers)
+    for j, tree in main.items():
+        out[f"main_flows_{j}"] = tree
+    for j, tree in post.items():
+        out[f"post_flows_{j}"] = tree
+    return out
+
+
 def _assemble(params: Dict[str, Any], stats: Dict[str, Any]) -> Dict[str, Any]:
     params = {k: v for k, v in params.items() if v is not None}
     out: Dict[str, Any] = {"params": params}
@@ -520,9 +576,10 @@ def convert_aasvc(state_dict: Dict[str, Any], model) -> Dict[str, Any]:
             sd, "duration_predictor", model.duration_predictor_layers
         )
     else:
-        raise NotImplementedError(
-            "stochastic duration predictor conversion is not implemented; "
-            "use a deterministic-DP checkpoint"
+        params["duration_predictor"] = _sdp(
+            sd, "duration_predictor",
+            model.stochastic_duration_predictor_flows,
+            model.stochastic_duration_predictor_dds_conv_layers,
         )
     if not model.duration_predictor_use_encoder_outputs:
         params["duration_predictor_projection"] = {

@@ -347,7 +347,11 @@ class StochasticDurationPredictor(nn.Module):
         inverse: bool = False,
         noise_scale: float = 1.0,
         deterministic: bool = True,
+        noise: Optional[jnp.ndarray] = None,
     ):
+        """``noise`` (B, T, 2) overrides the internal gaussian draw (e_q in
+        training, z in inference) — used by cross-framework parity tests to
+        pin both implementations to identical randomness."""
         mask = x_mask[..., None].astype(x.dtype)  # (B, T, 1)
         x = jax.lax.stop_gradient(x)
         x = self.pre(x)
@@ -364,9 +368,12 @@ class StochasticDurationPredictor(nn.Module):
             h_w = self.post_proj(h_w) * mask
 
             e_q = (
-                jax.random.normal(self.make_rng("noise"), (x.shape[0], x.shape[1], 2))
-                * mask
-            )
+                noise
+                if noise is not None
+                else jax.random.normal(
+                    self.make_rng("noise"), (x.shape[0], x.shape[1], 2)
+                )
+            ) * mask
             z_q, logdet_tot_q = self._run_flow_seq(
                 self.post_flows, e_q, mask, g=x + h_w, inverse=False
             )
@@ -393,9 +400,12 @@ class StochasticDurationPredictor(nn.Module):
             return nll + logq  # (B,)
         else:
             z = (
-                jax.random.normal(self.make_rng("noise"), (x.shape[0], x.shape[1], 2))
-                * noise_scale
-            )
+                noise
+                if noise is not None
+                else jax.random.normal(
+                    self.make_rng("noise"), (x.shape[0], x.shape[1], 2)
+                )
+            ) * noise_scale
             z = self._run_flow_seq(
                 self.main_flows, z, mask, g=x, inverse=True, skip_last_conv=True
             )

@@ -567,3 +567,106 @@ def test_convert_checkpoint_cli_roundtrip(tmp_path, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(out["after_outs"])[0], r[0][0].numpy(), rtol=1e-4, atol=1e-4
     )
+
+
+# ------------------------------------------------------------------- SDP
+def test_stochastic_duration_predictor_parity(monkeypatch):
+    """The VITS stochastic duration predictor matches the reference under
+    IDENTICAL noise (torch.randn patched to a fixed draw; the flax module
+    takes the same array via its `noise` argument): training NLL per item
+    and inverse-sampled durations both agree — proving the flow-stack
+    conversion (affine + spline ConvFlows + DDS convs) end to end."""
+    from seq2seq_vc.modules.duration_predictor import (
+        StochasticDurationPredictor as RefSDP,
+    )
+
+    from seq2seq_vc_tpu.convert.reference import _sdp, _StateDict
+    from seq2seq_vc_tpu.nn.flows import StochasticDurationPredictor
+
+    C, B, T = 32, 2, 11
+    torch.manual_seed(30)
+    ref = RefSDP(
+        channels=C, kernel_size=3, dropout_rate=0.0, flows=2, dds_conv_layers=3
+    )
+    ref.eval()
+    ours = StochasticDurationPredictor(
+        channels=C, kernel_size=3, dropout_rate=0.0, flows=2, dds_conv_layers=3
+    )
+    # convert with the top-level prefix the AASVC converter uses
+    sd = {f"duration_predictor.{k}": v for k, v in ref.state_dict().items()}
+    wrapped = _StateDict(sd)
+    params = {"params": _sdp(wrapped, "duration_predictor", 2, 3)}
+    wrapped.finish()
+
+    rng = np.random.default_rng(31)
+    x = rng.standard_normal((B, T, C)).astype(np.float32)
+    mask = np.ones((B, T), bool)
+    mask[1, 8:] = False
+    w = rng.integers(1, 6, (B, T)).astype(np.float32)
+    noise = rng.standard_normal((B, 2, T)).astype(np.float32)
+
+    monkeypatch.setattr(
+        torch, "randn", lambda *s, **k: torch.from_numpy(noise[: s[0]])
+    )
+    with torch.no_grad():
+        r_nll = ref(
+            torch.from_numpy(x).transpose(1, 2),
+            torch.from_numpy(mask[:, None, :].astype(np.float32)),
+            w=torch.from_numpy(w[:, None, :]),
+        )
+    nll = ours.apply(
+        params, jnp.asarray(x), jnp.asarray(mask), w=jnp.asarray(w),
+        noise=jnp.asarray(noise.transpose(0, 2, 1)),
+    )
+    np.testing.assert_allclose(np.asarray(nll), r_nll.numpy(), rtol=2e-4, atol=2e-4)
+
+    with torch.no_grad():
+        r_d = ref(
+            torch.from_numpy(x).transpose(1, 2),
+            torch.from_numpy(mask[:, None, :].astype(np.float32)),
+            inverse=True, noise_scale=0.8,
+        )
+    d = ours.apply(
+        params, jnp.asarray(x), jnp.asarray(mask), inverse=True,
+        noise_scale=0.8, noise=jnp.asarray(noise.transpose(0, 2, 1)),
+    )
+    # reference returns (B, 1, T) of exp(logw); ours applies ceil
+    np.testing.assert_allclose(
+        np.asarray(d), np.ceil(r_d[:, 0].numpy() * mask), rtol=0, atol=0
+    )
+
+
+def test_aasvc_stochastic_checkpoint_converts():
+    """convert_aasvc covers the FLAGSHIP shipped config (stochastic DP,
+    arctic/vc2): a full reference AASVC+SDP state_dict converts with no
+    leftover tensors and the flax model runs on the converted params."""
+    from seq2seq_vc.models.aas_vc import AASVC as RefAASVC
+
+    from seq2seq_vc_tpu.models import AASVC
+
+    cfg = dict(
+        idim=20, odim=20, adim=32, aheads=2, elayers=1, dlayers=1,
+        eunits=64, dunits=64, postnet_layers=2, postnet_chans=16,
+        duration_predictor_type="stochastic",
+        stochastic_duration_predictor_flows=2,
+        stochastic_duration_predictor_dds_conv_layers=2,
+        conformer_enc_kernel_size=7, conformer_dec_kernel_size=7,
+        encoder_normalize_before=True, decoder_normalize_before=True,
+    )
+    torch.manual_seed(32)
+    ref = RefAASVC(**cfg)
+    ours = AASVC(
+        **cfg, conformer_conv_norm_type="batch_norm",
+        postnet_norm_type="batch_norm",
+    )
+    variables = convert_aasvc(ref.state_dict(), ours)
+    rng = np.random.default_rng(33)
+    xs = jnp.asarray(rng.standard_normal((2, 13, 20)), jnp.float32)
+    ys = jnp.asarray(rng.standard_normal((2, 29, 20)), jnp.float32)
+    out = ours.apply(
+        variables, xs, jnp.asarray([13, 13]), ys, jnp.asarray([29, 29]),
+        deterministic=True,
+        rngs={"noise": jax.random.PRNGKey(0)},
+    )
+    assert np.isfinite(np.asarray(out["after_outs"])).all()
+    assert np.isfinite(float(out["dur_nll"]))
