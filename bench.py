@@ -347,6 +347,9 @@ def bench_wav2wav(jax, jnp):
 
 
 def main():
+    from seq2seq_vc_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
 

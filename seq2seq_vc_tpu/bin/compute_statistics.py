@@ -20,6 +20,9 @@ from ..utils.io import write_hdf5
 
 
 def main():
+    from ..core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(description="Compute feature statistics")
     parser.add_argument("--feats-scp", "--scp", default=None)
     parser.add_argument("--rootdir", default=None)

@@ -43,6 +43,9 @@ _CONVERTERS = {
 
 
 def main():
+    from ..core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--torch-checkpoint", required=True)
     parser.add_argument("--config", required=True,

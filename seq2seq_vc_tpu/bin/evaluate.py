@@ -33,6 +33,9 @@ def _evaluate_one(args):
 
 
 def main():
+    from ..core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(description="Objective evaluation (MCD/F0/DDUR)")
     parser.add_argument("--wavdir", required=True, help="converted wav dir")
     parser.add_argument("--gt-wavdir", required=True, help="ground truth wav dir")

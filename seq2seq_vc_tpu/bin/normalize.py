@@ -19,6 +19,9 @@ from ..utils.io import read_hdf5, write_hdf5
 
 
 def main():
+    from ..core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(description="Normalize dumped features")
     parser.add_argument("--rootdir", default=None)
     parser.add_argument("--feats-scp", "--scp", default=None)

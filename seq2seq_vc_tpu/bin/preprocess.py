@@ -65,6 +65,9 @@ def trim_silence(
 
 
 def main():
+    from ..core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(description="Extract features from wav.scp")
     parser.add_argument("--wav-scp", "--scp", required=True)
     parser.add_argument("--segments", default=None)

@@ -24,6 +24,9 @@ from ..vocoder import get_vocoder
 
 
 def main():
+    from ..core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(description="Decode with a trained TTS model")
     parser.add_argument("--text", required=True, help="2-column utt-id text file")
     parser.add_argument("--checkpoint", required=True)

@@ -25,6 +25,9 @@ from ..train.tts_data import ARTTSCollater, TTSDataset
 
 
 def main():
+    from ..core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(description="Train a TTS model (TPU-native)")
     parser.add_argument("--train-dumpdir", required=True)
     parser.add_argument("--dev-dumpdir", required=True)

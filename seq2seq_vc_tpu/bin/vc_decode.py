@@ -39,6 +39,9 @@ def _bucket_len(n: int, multiple: int = 64) -> int:
 
 
 def main():
+    from ..core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(description="Decode with a trained VC model")
     parser.add_argument("--dumpdir", required=True, help="source features dir/scp")
     parser.add_argument("--trg-dumpdir", default=None,

@@ -96,6 +96,9 @@ def init_model_params(model, config, sample_batch):
 
 
 def main():
+    from ..core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(description="Train a VC model (TPU-native)")
     parser.add_argument("--src-train-dumpdir", required=True)
     parser.add_argument("--src-dev-dumpdir", required=True)

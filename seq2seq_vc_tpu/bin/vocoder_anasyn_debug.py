@@ -21,6 +21,9 @@ from ..vocoder import get_vocoder
 
 
 def main():
+    from ..core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(description="Vocoder analysis-synthesis debug")
     parser.add_argument("--wav-scp", default=None)
     parser.add_argument("--rootdir", default=None, help="wav dir alternative")

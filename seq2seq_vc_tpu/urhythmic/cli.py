@@ -160,6 +160,9 @@ def cmd_resample(args):
 
 
 def main():
+    from ..core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(description="Urhythmic rhythm conversion tools")
     sub = parser.add_subparsers(dest="cmd", required=True)
 
