@@ -13,7 +13,8 @@ db_root=downloads/LJSpeech-1.1
 dumpdir=dump
 expdir=exp
 tag=transformer_tts.v1
-token_type=char   # g2p backends are gated in this image; char works
+token_type=phn    # reference default (ref run.sh:45); falls back to the
+g2p=g2p_en        # native rule-based English G2P when g2p_en is absent
 cleaner=tacotron
 num_dev=250
 
@@ -38,7 +39,7 @@ if [ "$stage" -le 1 ] && [ "$stop_stage" -ge 1 ]; then
   echo "=== stage 1: tokenization"
   python3 -m seq2seq_vc_tpu.bin.tokenize_text \
     --input data/text --output data/tokens.txt \
-    --token_type "$token_type" --cleaner "$cleaner" --field 2-
+    --token_type "$token_type" --g2p "$g2p" --cleaner "$cleaner" --field 2-
 fi
 
 if [ "$stage" -le 2 ] && [ "$stop_stage" -ge 2 ]; then
@@ -64,7 +65,7 @@ if [ "$stage" -le 3 ] && [ "$stop_stage" -ge 3 ]; then
   python3 -m seq2seq_vc_tpu.bin.tts_train \
     --train-dumpdir "$dumpdir/train/norm" --dev-dumpdir "$dumpdir/dev/norm" \
     --train-text data/text --dev-text data/text \
-    --token-list data/tokens.txt --token-type "$token_type" --cleaner "$cleaner" \
+    --token-list data/tokens.txt --token-type "$token_type" --g2p "$g2p" --cleaner "$cleaner" \
     --stats "$dumpdir/stats/stats.h5" \
     --outdir "$expdir/$tag" --config "$conf"
 fi
@@ -75,7 +76,7 @@ if [ "$stage" -le 4 ] && [ "$stop_stage" -ge 4 ]; then
   head -20 data/text > data/decode_text
   python3 -m seq2seq_vc_tpu.bin.tts_decode \
     --text data/decode_text --checkpoint "$ckpt" \
-    --token-list data/tokens.txt --token-type "$token_type" --cleaner "$cleaner" \
+    --token-list data/tokens.txt --token-type "$token_type" --g2p "$g2p" --cleaner "$cleaner" \
     --stats "$dumpdir/stats/stats.h5" \
     --outdir "$expdir/$tag/results"
 fi

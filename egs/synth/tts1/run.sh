@@ -7,6 +7,8 @@ stage=0
 stop_stage=100
 workdir=${WORKDIR:-exp_synth_tts}
 conf=conf/tts.synth.yaml
+token_type=phn   # exercises the native English G2P fallback end to end
+g2p=g2p_en
 repo_root=$(cd "$(dirname "$0")/../../.." && pwd)
 . "$repo_root/utils/parse_options.sh"
 
@@ -33,7 +35,7 @@ if [ "$stage" -le 1 ] && [ "$stop_stage" -ge 1 ]; then
   echo "=== stage 1: tokenize"
   python -m seq2seq_vc_tpu.bin.tokenize_text \
     --input "$workdir/corpus/text" --output "$workdir/tokens.txt" \
-    --token_type char --cleaner tacotron --field 2-
+    --token_type "$token_type" --g2p "$g2p" --cleaner tacotron --field 2-
 fi
 
 if [ "$stage" -le 2 ] && [ "$stop_stage" -ge 2 ]; then
@@ -53,7 +55,7 @@ if [ "$stage" -le 3 ] && [ "$stop_stage" -ge 3 ]; then
   python -m seq2seq_vc_tpu.bin.tts_train \
     --train-dumpdir "$workdir/dump/norm" --dev-dumpdir "$workdir/dump/norm" \
     --train-text "$workdir/corpus/text" --dev-text "$workdir/corpus/text" \
-    --token-list "$workdir/tokens.txt" --token-type char --cleaner tacotron \
+    --token-list "$workdir/tokens.txt" --token-type "$token_type" --g2p "$g2p" --cleaner tacotron \
     --outdir "$workdir/exp" --config "$conf"
 fi
 
@@ -63,7 +65,7 @@ if [ "$stage" -le 4 ] && [ "$stop_stage" -ge 4 ]; then
   head -3 "$workdir/corpus/text" > "$workdir/decode_text"
   python -m seq2seq_vc_tpu.bin.tts_decode \
     --text "$workdir/decode_text" --checkpoint "$ckpt" \
-    --token-list "$workdir/tokens.txt" --token-type char --cleaner tacotron \
+    --token-list "$workdir/tokens.txt" --token-type "$token_type" --g2p "$g2p" --cleaner tacotron \
     --stats "$workdir/stats/stats.h5" \
     --outdir "$workdir/results"
   ls "$workdir/results/wav"

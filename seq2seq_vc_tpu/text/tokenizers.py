@@ -86,25 +86,37 @@ class PhonemeTokenizer(AbsTokenizer):
         self.space_symbol = space_symbol
         if g2p_type is None:
             self.g2p = lambda text: text.split(" ")
-        elif g2p_type == "g2p_en":
+        elif g2p_type in ("g2p_en", "g2p_en_no_space"):
+            # reference keeps " " word separators for g2p_en and filters
+            # them for g2p_en_no_space (ref phoneme_tokenizer.py:220-231)
+            no_space = g2p_type.endswith("no_space")
             try:
                 import g2p_en
 
                 backend = g2p_en.G2p()
-                self.g2p = lambda text: [p for p in backend(text) if p != " "]
-            except ImportError as e:
-                raise ImportError(
-                    "g2p_en is not installed in this image; use token_type=char "
-                    "or install g2p_en"
-                ) from e
-        elif g2p_type == "g2p_en_no_space":
-            try:
-                import g2p_en
+            except ImportError:
+                import logging
 
-                backend = g2p_en.G2p()
+                from .g2p_native import NativeEnglishG2p
+
+                logging.warning(
+                    "g2p_en is not installed; falling back to the native "
+                    "rule-based English G2P (same ARPAbet token inventory, "
+                    "lower accuracy on rare words)"
+                )
+                backend = NativeEnglishG2p()
+            if no_space:
                 self.g2p = lambda text: [p for p in backend(text) if p != " "]
-            except ImportError as e:
-                raise ImportError("g2p_en is not installed in this image") from e
+            else:
+                self.g2p = backend
+        elif g2p_type in ("english_native", "english_native_no_space"):
+            from .g2p_native import NativeEnglishG2p
+
+            backend = NativeEnglishG2p()
+            if g2p_type.endswith("no_space"):
+                self.g2p = lambda text: [p for p in backend(text) if p != " "]
+            else:
+                self.g2p = backend
         elif g2p_type and g2p_type.startswith("pyopenjtalk"):
             raise ImportError("pyopenjtalk backends are not available in this image")
         elif g2p_type and g2p_type.startswith("pypinyin"):
