@@ -171,13 +171,10 @@ def main():
     # must keep the padded time axes divisible by it.
     tp = int(config.get("tensor_parallel", 1) or 1)
     sp = int(config.get("sequence_parallel", 1) or 1)
-    if tp > 1 and sp > 1:
-        # composing the two is untested: an idle model axis next to
-        # seq-sharded conv activations over-reduces kernel grads (see
-        # tests/test_sequence_parallel.py) — pick one per run for now
-        raise NotImplementedError(
-            "tensor_parallel and sequence_parallel cannot be combined yet"
-        )
+    # tp+sp composition is safe: nn/conv.py swaps the k>1 conv backward to
+    # partitioner-safe dense contractions whenever the model's sp_mesh
+    # composes both axes (the stock conv kernel-grad lowering over-reduces
+    # by the idle/model axis — scripts/repro_tp_sp.py).
     mesh = None
     if len(jax.devices()) > 1 or tp > 1 or sp > 1:
         mesh = get_mesh(model=tp, seq=sp)
@@ -212,9 +209,13 @@ def main():
         freeze_mods=config.get("freeze-mods") or config.get("freeze_mods"),
     )
 
-    # init params from a sample batch (jitted)
+    # init params from a sample batch (jitted). sp_mesh only changes the
+    # computation layout (shard_map'd ring attention wants the batch axis
+    # divisible by the mesh data axis, which a 1-sample init batch isn't) —
+    # the parameter tree is identical, so init through an sp-free clone.
     sample = collater([train_ds[0]])
-    params = init_model_params(model, config, sample)
+    init_model = model.clone(sp_mesh=None) if sp > 1 else model
+    params = init_model_params(init_model, config, sample)
     n_params = sum(int(np.prod(np.shape(x))) for x in jax.tree_util.tree_leaves(params))
     logging.info("model parameters: %.2fM", n_params / 1e6)
 

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 
 from ..nn.alignment import AlignmentModule
 from ..nn.conformer import ConformerEncoder
+from ..nn.conv import sp_safe_convs
 from ..nn.duration_predictor import DurationPredictor
 from ..nn.flows import StochasticDurationPredictor
 from ..nn.pre_postnets import Postnet
@@ -272,6 +273,7 @@ class AASVC(nn.Module):
         dp, _ = self.duration_predictor_projection(dp_inputs, None)
         return nearest_interpolate(dp, hs.shape[1])
 
+    @sp_safe_convs
     def __call__(
         self,
         src_speech,

@@ -10,6 +10,8 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
+
+from .conv import Conv
 import jax
 import jax.numpy as jnp
 
@@ -32,12 +34,12 @@ class AlignmentModule(nn.Module):
         Returns:
             (B, T_feats, T_text) log attention probabilities.
         """
-        t = nn.relu(nn.Conv(self.adim, (3,), padding="SAME", name="t_conv1")(text))
-        t = nn.Conv(self.adim, (1,), name="t_conv2")(t)
+        t = nn.relu(Conv(self.adim, (3,), padding="SAME", name="t_conv1")(text))
+        t = Conv(self.adim, (1,), name="t_conv2")(t)
 
-        f = nn.relu(nn.Conv(self.adim, (3,), padding="SAME", name="f_conv1")(feats))
-        f = nn.relu(nn.Conv(self.adim, (3,), padding="SAME", name="f_conv2")(f))
-        f = nn.Conv(self.adim, (1,), name="f_conv3")(f)
+        f = nn.relu(Conv(self.adim, (3,), padding="SAME", name="f_conv1")(feats))
+        f = nn.relu(Conv(self.adim, (3,), padding="SAME", name="f_conv2")(f))
+        f = Conv(self.adim, (1,), name="f_conv3")(f)
 
         # -||f_t - t_k||_2 as score, via the matmul expansion
         # ||f||^2 + ||t||^2 - 2 f.t: the broadcast-difference form the

@@ -16,6 +16,8 @@ from __future__ import annotations
 from typing import Any, Optional
 
 import flax.linen as nn
+
+from .conv import Conv
 import jax
 import jax.numpy as jnp
 
@@ -76,11 +78,11 @@ class ConvolutionModule(nn.Module):
         assert (self.kernel_size - 1) % 2 == 0
         if mask is not None:
             x = x * mask[..., None].astype(x.dtype)
-        h = nn.Conv(2 * self.channels, (1,), dtype=self.dtype)(x)
+        h = Conv(2 * self.channels, (1,), dtype=self.dtype)(x)
         h = nn.glu(h, axis=-1)
         if mask is not None:
             h = h * mask[..., None].astype(h.dtype)
-        h = nn.Conv(
+        h = Conv(
             self.channels,
             (self.kernel_size,),
             padding="SAME",
@@ -94,7 +96,7 @@ class ConvolutionModule(nn.Module):
         else:
             raise ValueError(self.conv_norm_type)
         h = nn.swish(h)
-        return nn.Conv(self.channels, (1,), dtype=self.dtype)(h)
+        return Conv(self.channels, (1,), dtype=self.dtype)(h)
 
 
 class ConformerEncoderLayer(nn.Module):

@@ -11,6 +11,8 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
+
+from .conv import Conv
 import jax.numpy as jnp
 
 
@@ -37,7 +39,7 @@ class DurationPredictor(nn.Module):
         """
         h = xs
         for _ in range(self.n_layers):
-            h = nn.Conv(self.n_chans, (self.kernel_size,), padding="SAME")(h)
+            h = Conv(self.n_chans, (self.kernel_size,), padding="SAME")(h)
             h = nn.relu(h)
             # espnet LayerNorm eps 1e-12 (reference duration_predictor.py:75)
             h = nn.LayerNorm(epsilon=1e-12)(h)

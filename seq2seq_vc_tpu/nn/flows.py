@@ -13,6 +13,8 @@ import math
 from typing import Optional, Tuple
 
 import flax.linen as nn
+
+from .conv import Conv
 import jax
 import jax.numpy as jnp
 
@@ -207,7 +209,7 @@ class DilatedDepthSeparableConv(nn.Module):
             x = x + g
         for i in range(self.layers):
             dilation = self.kernel_size ** i
-            y = nn.Conv(
+            y = Conv(
                 self.channels,
                 (self.kernel_size,),
                 kernel_dilation=dilation,
@@ -216,7 +218,7 @@ class DilatedDepthSeparableConv(nn.Module):
             )(x * x_mask)
             y = nn.LayerNorm(epsilon=self.eps)(y)
             y = nn.gelu(y)
-            y = nn.Conv(self.channels, (1,))(y)
+            y = Conv(self.channels, (1,))(y)
             y = nn.LayerNorm(epsilon=self.eps)(y)
             y = nn.gelu(y)
             y = nn.Dropout(self.dropout_rate)(y, deterministic=deterministic)
@@ -239,11 +241,11 @@ class ConvFlow(nn.Module):
         """x: (B, T, in_channels); x_mask: (B, T, 1)."""
         half = self.in_channels // 2
         xa, xb = x[..., :half], x[..., half:]
-        h = nn.Conv(self.hidden_channels, (1,), name="input_conv")(xa)
+        h = Conv(self.hidden_channels, (1,), name="input_conv")(xa)
         h = DilatedDepthSeparableConv(
             self.hidden_channels, self.kernel_size, self.layers, name="dds_conv"
         )(h, x_mask, g=g)
-        h = nn.Conv(
+        h = Conv(
             half * (self.bins * 3 - 1),
             (1,),
             kernel_init=nn.initializers.zeros,

@@ -14,6 +14,8 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+
+from .conv import Conv
 import jax
 import jax.numpy as jnp
 
@@ -54,7 +56,7 @@ class Postnet(nn.Module):
         for layer in range(self.n_layers):
             is_last = layer == self.n_layers - 1
             ochans = self.odim if is_last else self.n_chans
-            h = nn.Conv(
+            h = Conv(
                 ochans, (self.n_filts,), padding="SAME", use_bias=False,
                 dtype=self.dtype,
             )(h)

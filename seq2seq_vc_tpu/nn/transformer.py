@@ -15,6 +15,8 @@ from __future__ import annotations
 from typing import Any, Dict, Optional, Tuple
 
 import flax.linen as nn
+
+from .conv import Conv
 import jax
 import jax.numpy as jnp
 
@@ -62,12 +64,12 @@ class MultiLayeredConv1d(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         d = x.shape[-1]
-        h = nn.Conv(
+        h = Conv(
             self.hidden_chans, (self.kernel_size,), padding="SAME", dtype=self.dtype
         )(x)
         h = nn.relu(h)
         h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
-        return nn.Conv(d, (self.kernel_size,), padding="SAME", dtype=self.dtype)(h)
+        return Conv(d, (self.kernel_size,), padding="SAME", dtype=self.dtype)(h)
 
 
 class Conv1dLinear(nn.Module):
@@ -81,7 +83,7 @@ class Conv1dLinear(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         d = x.shape[-1]
-        h = nn.Conv(
+        h = Conv(
             self.hidden_chans, (self.kernel_size,), padding="SAME", dtype=self.dtype
         )(x)
         h = nn.relu(h)
@@ -119,8 +121,8 @@ class Conv2dSubsampling(nn.Module):
     def __call__(self, x, mask: Optional[jnp.ndarray]):
         # x: (B, T, idim) -> (B, T, idim, 1) channel-last 2D conv
         h = x[..., None]
-        h = nn.relu(nn.Conv(self.odim, (3, 3), strides=(2, 2), padding="VALID")(h))
-        h = nn.relu(nn.Conv(self.odim, (3, 3), strides=(2, 2), padding="VALID")(h))
+        h = nn.relu(Conv(self.odim, (3, 3), strides=(2, 2), padding="VALID")(h))
+        h = nn.relu(Conv(self.odim, (3, 3), strides=(2, 2), padding="VALID")(h))
         b, t, f, c = h.shape
         h = nn.Dense(self.odim)(h.reshape(b, t, f * c))
         if mask is not None:
@@ -136,8 +138,8 @@ class Conv2dSubsampling2(nn.Module):
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray]):
         h = x[..., None]
-        h = nn.relu(nn.Conv(self.odim, (3, 3), strides=(2, 2), padding="VALID")(h))
-        h = nn.relu(nn.Conv(self.odim, (3, 3), strides=(1, 1), padding="VALID")(h))
+        h = nn.relu(Conv(self.odim, (3, 3), strides=(2, 2), padding="VALID")(h))
+        h = nn.relu(Conv(self.odim, (3, 3), strides=(1, 1), padding="VALID")(h))
         b, t, f, c = h.shape
         h = nn.Dense(self.odim)(h.reshape(b, t, f * c))
         if mask is not None:
@@ -153,8 +155,8 @@ class Conv2dSubsampling6(nn.Module):
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray]):
         h = x[..., None]
-        h = nn.relu(nn.Conv(self.odim, (3, 3), strides=(2, 2), padding="VALID")(h))
-        h = nn.relu(nn.Conv(self.odim, (5, 5), strides=(3, 3), padding="VALID")(h))
+        h = nn.relu(Conv(self.odim, (3, 3), strides=(2, 2), padding="VALID")(h))
+        h = nn.relu(Conv(self.odim, (5, 5), strides=(3, 3), padding="VALID")(h))
         b, t, f, c = h.shape
         h = nn.Dense(self.odim)(h.reshape(b, t, f * c))
         if mask is not None:
@@ -171,7 +173,7 @@ class Conv2dSubsampling8(nn.Module):
     def __call__(self, x, mask: Optional[jnp.ndarray]):
         h = x[..., None]
         for _ in range(3):
-            h = nn.relu(nn.Conv(self.odim, (3, 3), strides=(2, 2), padding="VALID")(h))
+            h = nn.relu(Conv(self.odim, (3, 3), strides=(2, 2), padding="VALID")(h))
         b, t, f, c = h.shape
         h = nn.Dense(self.odim)(h.reshape(b, t, f * c))
         if mask is not None:

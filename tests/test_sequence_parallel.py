@@ -68,12 +68,8 @@ def test_aasvc_sp_train_step_matches_unsharded(sp):
     )()
     ref_loss, ref_grads = _loss_and_grads(ref_model, params, batch)
 
-    # model axis stays 1: SP does not compose with TP yet (an idle model
-    # axis over-reduces the kernel grads of seq-sharded k>1 convs).
     # data axis = 2 (the batch size) — use only 2*sp of the fake devices
-    import jax as _jax
-
-    mesh = get_mesh(data=2, model=1, seq=sp, devices=_jax.devices()[: 2 * sp])
+    mesh = get_mesh(data=2, model=1, seq=sp, devices=jax.devices()[: 2 * sp])
     sp_model = _model(sp_mesh=mesh)
     sp_loss, sp_grads = _loss_and_grads(sp_model, params, batch)
 
@@ -83,6 +79,45 @@ def test_aasvc_sp_train_step_matches_unsharded(sp):
     ):
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_aasvc_tp_sp_composed_matches_unsharded():
+    """TP x SP composition on a (data=2, model=2, seq=2) mesh.
+
+    Both XLA partitioners (GSPMD and Shardy) mis-scale the kernel gradient
+    of seq-sharded k>1 convolutions by the size of a mesh axis the conv
+    does not use (exactly 2.0x here) — nn/conv.py swaps the backward to
+    shifted dense contractions under the sp_safe_convs scope, restoring
+    grad equivalence. scripts/repro_tp_sp.py is the minimized repro.
+    """
+    from seq2seq_vc_tpu.parallel.tp import shard_params
+
+    batch = _batch()
+    xs, ilens, ys, olens = batch
+    ref_model = _model()
+    keys = {
+        "params": jax.random.PRNGKey(0),
+        "dropout": jax.random.PRNGKey(1),
+        "noise": jax.random.PRNGKey(2),
+    }
+    params = jax.jit(
+        lambda: ref_model.init(keys, xs, ilens, ys, olens, deterministic=True)
+    )()
+    ref_loss, ref_grads = _loss_and_grads(ref_model, params, batch)
+
+    mesh = get_mesh(data=2, model=2, seq=2, devices=jax.devices()[:8])
+    p_tp = shard_params(params, mesh)
+    both_loss, both_grads = _loss_and_grads(_model(sp_mesh=mesh), p_tp, batch)
+
+    np.testing.assert_allclose(float(both_loss), float(ref_loss), rtol=2e-5)
+    for (path, a), b in zip(
+        jax.tree_util.tree_leaves_with_path(ref_grads),
+        jax.tree_util.tree_leaves(both_grads),
+    ):
+        name = "/".join(getattr(p, "key", str(p)) for p in path)
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5, err_msg=name
         )
 
 
