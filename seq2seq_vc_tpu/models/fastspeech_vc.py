@@ -19,6 +19,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..nn.conformer import ConformerEncoder
+from ..nn.conv import sp_safe_convs
 from ..nn.duration_predictor import DurationPredictor
 from ..nn.pre_postnets import Postnet
 from ..nn.transformer import Conv2dSubsampling, Encoder
@@ -86,8 +87,19 @@ class FastSpeechVC(nn.Module):
     use_masking: bool = False
     use_weighted_masking: bool = False
     teacher_model_decoder_reduction_factor: int = 4
+    # sequence parallelism: mesh whose 'seq' axis shards the conformer time
+    # axes with ring attention (set by vc_train from the sequence_parallel
+    # config key) — conformer encoder/decoder only
+    sp_mesh: Any = None
+    sp_axis: str = "seq"
 
     def setup(self):
+        if self.sp_mesh is not None and (
+            self.encoder_type != "conformer" or self.decoder_type != "conformer"
+        ):
+            raise NotImplementedError(
+                "sequence_parallel requires conformer encoder and decoder"
+            )
         pos_enc, self_attn = self._conformer_types()
         if self.encoder_type == "transformer":
             self.encoder = Encoder(
@@ -127,6 +139,8 @@ class FastSpeechVC(nn.Module):
                 cnn_module_kernel=self.conformer_enc_kernel_size,
                 conv_norm_type=self.conformer_conv_norm_type,
                 attention_backend=self.attention_backend,
+                sp_mesh=self.sp_mesh,
+                sp_axis=self.sp_axis,
             )
         else:
             raise NotImplementedError(self.encoder_type)
@@ -181,6 +195,8 @@ class FastSpeechVC(nn.Module):
                 cnn_module_kernel=self.conformer_dec_kernel_size,
                 conv_norm_type=self.conformer_conv_norm_type,
                 attention_backend=self.attention_backend,
+                sp_mesh=self.sp_mesh,
+                sp_axis=self.sp_axis,
             )
         else:
             raise NotImplementedError(self.decoder_type)
@@ -235,6 +251,7 @@ class FastSpeechVC(nn.Module):
         dp, _ = self.duration_predictor_projection(dp_inputs, None)
         return nearest_interpolate(dp, hs.shape[1])
 
+    @sp_safe_convs
     def __call__(
         self,
         src_speech,

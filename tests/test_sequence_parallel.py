@@ -121,6 +121,79 @@ def test_aasvc_tp_sp_composed_matches_unsharded():
         )
 
 
+def test_fastspeech_vc_sp_and_tp_sp_match_unsharded():
+    """sequence_parallel (and its TP composition) also covers FastSpeechVC:
+    the conformer stacks take the same sp_mesh plumbing as AAS-VC."""
+    from seq2seq_vc_tpu.models import FastSpeechVC
+    from seq2seq_vc_tpu.parallel.tp import shard_params
+
+    def fs2(sp_mesh=None):
+        return FastSpeechVC(
+            idim=20, odim=20, adim=32, aheads=4, elayers=2, dlayers=2,
+            eunits=64, dunits=64, postnet_layers=2, postnet_chans=16,
+            encoder_type="conformer", decoder_type="conformer",
+            encoder_input_layer="linear",
+            conformer_enc_kernel_size=7, conformer_dec_kernel_size=7,
+            encoder_normalize_before=True, decoder_normalize_before=True,
+            teacher_model_decoder_reduction_factor=1,
+            sp_mesh=sp_mesh,
+        )
+
+    rng = np.random.default_rng(0)
+    B, T = 2, 16
+    xs = jnp.asarray(rng.standard_normal((B, T, 20)), jnp.float32)
+    ys = jnp.asarray(rng.standard_normal((B, 2 * T, 20)), jnp.float32)
+    ilens = jnp.asarray([16, 12])
+    olens = jnp.asarray([32, 24])
+    # teacher durations on the encoder grid summing to the target lengths
+    ds = np.zeros((B, T), np.int64)
+    ds[0, :16] = 2
+    ds[1, :12] = 2
+    ds = jnp.asarray(ds)
+
+    def loss_and_grads(model, params):
+        def loss_fn(p):
+            out = model.apply(
+                p, xs, ilens, ys, olens, ds, deterministic=True
+            )
+            return jnp.mean((out["after_outs"] - ys) ** 2) + jnp.mean(
+                out["d_outs"] ** 2
+            )
+
+        return jax.jit(jax.value_and_grad(loss_fn))(params)
+
+    ref_model = fs2()
+    keys = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    params = jax.jit(
+        lambda: ref_model.init(keys, xs, ilens, ys, olens, ds, deterministic=True)
+    )()
+    ref_loss, ref_grads = loss_and_grads(ref_model, params)
+
+    for tag, mesh, p in [
+        ("sp", get_mesh(data=2, model=1, seq=2, devices=jax.devices()[:4]), params),
+        (
+            "tp+sp",
+            get_mesh(data=2, model=2, seq=2, devices=jax.devices()[:8]),
+            None,
+        ),
+    ]:
+        if p is None:
+            p = shard_params(params, mesh)
+        loss, grads = loss_and_grads(fs2(sp_mesh=mesh), p)
+        np.testing.assert_allclose(float(loss), float(ref_loss), rtol=2e-5)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(ref_grads), jax.tree_util.tree_leaves(grads)
+        ):
+            # fp32 accumulation order differs under sharding, so absolute
+            # noise scales with the LEAF's largest elements (grads here run
+            # into the thousands) — compare with a per-leaf scaled atol
+            a = np.asarray(a)
+            np.testing.assert_allclose(
+                np.asarray(b), a, rtol=1e-4,
+                atol=1e-6 * max(1.0, float(np.abs(a).max())), err_msg=tag,
+            )
+
+
 def test_sp_rejects_legacy_rel_pos():
     mesh = get_mesh(data=2, model=1, seq=4)
     model = _model(sp_mesh=mesh).clone(conformer_rel_pos_type="legacy")
