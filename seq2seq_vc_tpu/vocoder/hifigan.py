@@ -257,14 +257,16 @@ def chunked_generate(
     return core.reshape(-1)[: t * hop]
 
 
-def load_hifigan_backend(checkpoint: str, config_path: Optional[str] = None):
-    """Build a (T, in_channels) -> (N,) waveform callable from a saved
-    flax HiFi-GAN checkpoint (see ``core/checkpoint.py`` format)."""
+def load_hifigan_model(checkpoint: str, config_path: Optional[str] = None):
+    """Load a saved flax HiFi-GAN checkpoint -> (HifiganGenerator, params).
+
+    Accepts all framework layouts: plain param trees, ``{"model": ...}``
+    checkpoints (possibly with a serialized blob), and GAN-trainer bundles
+    ``{"generator": ..., "discriminator": ...}``.
+    """
     import yaml
 
     import flax.serialization
-
-    from ..core.checkpoint import load_checkpoint
 
     gen_cfg: Dict[str, Any] = {}
     if config_path:
@@ -273,18 +275,21 @@ def load_hifigan_backend(checkpoint: str, config_path: Optional[str] = None):
         gen_cfg = full.get("generator_params", {})
     model = HifiganGenerator(**gen_cfg)
 
-    del load_checkpoint  # raw-tree restore below covers all layouts
     with open(checkpoint, "rb") as f:
         state = flax.serialization.msgpack_restore(f.read())
-    # framework checkpoints nest a serialized model blob; the GAN trainer
-    # additionally bundles {"generator": ..., "discriminator": ...}
     if isinstance(state, dict) and "model" in state:
         state = state["model"]
     if isinstance(state, bytes):
         state = flax.serialization.msgpack_restore(state)
     if isinstance(state, dict) and "generator" in state:
         state = state["generator"]
-    params = state  # plain pytree of arrays works directly with apply
+    return model, state  # plain pytree of arrays works directly with apply
+
+
+def load_hifigan_backend(checkpoint: str, config_path: Optional[str] = None):
+    """Build a (T, in_channels) -> (N,) waveform callable from a saved
+    flax HiFi-GAN checkpoint (see ``core/checkpoint.py`` format)."""
+    model, params = load_hifigan_model(checkpoint, config_path)
 
     fn = jax.jit(lambda p, feats: model.apply(p, feats))
 

@@ -1,0 +1,113 @@
+"""vc_serve service layer: request handling + vocoder checkpoint layouts.
+
+The full server was driven end-to-end on the real chip (stdio and TCP
+modes) against egs/synth/vc1 artifacts; these CPU tests pin the pieces
+that don't need a device: line-protocol parsing, error containment,
+resampling/stereo handling, and load_hifigan_model's acceptance of every
+framework checkpoint layout.
+"""
+
+import json
+import os
+
+import flax.serialization
+import jax
+import numpy as np
+
+from seq2seq_vc_tpu.bin.vc_serve import ConversionService
+from seq2seq_vc_tpu.utils.audio import read_wav, write_wav
+from seq2seq_vc_tpu.vocoder.hifigan import HifiganGenerator, load_hifigan_model
+
+
+class _EchoConverter:
+    """Stands in for Wav2WavConverter: returns the input scaled."""
+
+    def __init__(self):
+        self.calls = []
+
+    def __call__(self, audio, rng=None):
+        self.calls.append((len(audio), rng))
+        return 0.5 * audio
+
+
+def test_handle_line_roundtrip_and_errors(tmp_path):
+    sr = 16000
+    conv = _EchoConverter()
+    svc = ConversionService(conv, sr)
+
+    wav_in = os.path.join(tmp_path, "in.wav")
+    wav_out = os.path.join(tmp_path, "out.wav")
+    t = np.arange(sr) / sr
+    write_wav(wav_in, (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32), sr)
+
+    res = json.loads(svc.handle_line(f"{wav_in} {wav_out}"))
+    assert res["ok"] and res["out"] == wav_out
+    assert abs(res["input_seconds"] - 1.0) < 1e-3
+    y, sr_out = read_wav(wav_out)
+    assert sr_out == sr and len(y) == sr
+    # per-request distinct rng
+    res2 = json.loads(svc.handle_line(f"{wav_in} {wav_out}"))
+    assert res2["ok"]
+    assert not np.array_equal(
+        np.asarray(conv.calls[0][1]), np.asarray(conv.calls[1][1])
+    )
+
+    bad = json.loads(svc.handle_line("only-one-field"))
+    assert not bad["ok"] and "expected" in bad["error"]
+    missing = json.loads(svc.handle_line(f"{tmp_path}/nope.wav {wav_out}"))
+    assert not missing["ok"]  # error surfaced as JSON, no exception
+
+
+def test_convert_file_resamples_to_model_rate(tmp_path):
+    svc = ConversionService(_EchoConverter(), 16000)
+    wav_in = os.path.join(tmp_path, "in8k.wav")
+    wav_out = os.path.join(tmp_path, "out.wav")
+    write_wav(wav_in, np.zeros(8000, np.float32), 8000)  # 1 s @ 8 kHz
+    res = svc.convert_file(wav_in, wav_out)
+    assert abs(res["input_seconds"] - 1.0) < 1e-3
+    _, sr_out = read_wav(wav_out)
+    assert sr_out == 16000
+
+
+def _tiny_voc():
+    gen_cfg = dict(
+        in_channels=8, upsample_channels=8,
+        upsample_kernel_sizes=(4, 4), upsample_factors=(2, 2),
+        resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1,),),
+    )
+    voc = HifiganGenerator(**gen_cfg)
+    params = voc.init(jax.random.PRNGKey(0), np.zeros((1, 8, 8), np.float32))
+    return gen_cfg, jax.tree_util.tree_map(np.asarray, params)
+
+
+def test_load_hifigan_model_layouts(tmp_path):
+    import yaml
+
+    gen_cfg, params = _tiny_voc()
+    cfg_path = os.path.join(tmp_path, "voc.yml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(
+            {"generator_params": {
+                k: (list(v) if isinstance(v, tuple) else v)
+                for k, v in gen_cfg.items()
+            }},
+            f,
+        )
+
+    layouts = {
+        "plain": params,
+        "model": {"model": params},
+        # GAN-trainer bundles store {"generator": <tree>, "discriminator": ...}
+        "gan": {"model": {"generator": params, "discriminator": {}}},
+    }
+
+    x = np.zeros((1, 8, 8), np.float32)
+    ref_model = HifiganGenerator(**gen_cfg)
+    want = np.asarray(ref_model.apply(params, x))
+    for name, state in layouts.items():
+        path = os.path.join(tmp_path, f"{name}.ckpt")
+        with open(path, "wb") as f:
+            f.write(flax.serialization.msgpack_serialize(state))
+        model, restored = load_hifigan_model(path, cfg_path)
+        got = np.asarray(model.apply(restored, x))
+        np.testing.assert_array_equal(got, want, err_msg=name)
