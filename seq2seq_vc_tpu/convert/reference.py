@@ -33,7 +33,11 @@ import numpy as np
 def _t2n(t) -> np.ndarray:
     if hasattr(t, "detach"):
         t = t.detach().cpu().numpy()
-    return np.asarray(t)
+    # COPY: ``Tensor.numpy()`` shares memory with the live torch parameter,
+    # so without this a later in-place torch update (optimizer.step) would
+    # silently mutate the converted flax tree (caught by the training-
+    # trajectory parity test: the flax run started one Adam step ahead).
+    return np.array(t)
 
 
 class _StateDict:
