@@ -74,6 +74,21 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
     sharding = data_sharding(mesh)
     multihost = jax.process_count() > 1
 
+    # the batch dim must divide the data axis; an epoch's final partial
+    # batch is padded by wrap-around repetition (the reference's
+    # DistributedSampler duplicates samples the same way) — duplicated
+    # rows slightly re-weight that one batch's mean loss, as there.
+    data = dict(mesh.shape).get("data", 1)
+    leaves = jax.tree_util.tree_leaves(batch)
+    if leaves and data > 1:
+        B = np.asarray(leaves[0]).shape[0]
+        pad = (-B) % data
+        if pad:
+            idx = np.arange(B + pad) % B
+            batch = jax.tree_util.tree_map(
+                lambda x: np.asarray(x)[idx], batch
+            )
+
     def _put(x):
         x = np.asarray(x)
         if multihost:

@@ -91,6 +91,122 @@ def _ref_losses(ref, criterion, xs, ilens, ys, olens):
     }
 
 
+def _final_params_close(ref_converted, ours_vars, n_steps, lr):
+    """Leaf-wise trajectory alignment with an Adam sign-noise allowance
+    (>=95% tight elements per leaf; tail bounded by the step envelope)."""
+    flat_ref = jax.tree_util.tree_leaves_with_path(ref_converted)
+    flat_ours = jax.tree_util.tree_leaves(ours_vars)
+    assert len(flat_ref) == len(flat_ours)
+    envelope = 2.1 * n_steps * lr
+    for (path, a), b in zip(flat_ref, flat_ours):
+        name = "/".join(getattr(p, "key", str(p)) for p in path)
+        a, b = np.asarray(a), np.asarray(b)
+        diff = np.abs(a - b)
+        tight = diff <= np.abs(a) * 5e-3 + 5e-4
+        assert tight.mean() >= 0.95, (
+            f"final param {name}: only {tight.mean():.1%} tightly matched "
+            f"(max diff {diff.max():.2e})"
+        )
+        assert diff.max() <= envelope, (
+            f"final param {name}: max diff {diff.max():.2e} exceeds the "
+            f"Adam step envelope {envelope:.2e}"
+        )
+
+
+def test_vtn_training_trajectory_parity():
+    """AR path: N steps of the reference ARVCTrainer recipe (Seq2SeqLoss,
+    grad clip 1.0, Adam + WarmupLR — trainers/ar_vc.py:83-109) vs N steps
+    of this package's PRODUCTION optimizer chain (train/optim.py
+    build_optimizer), from identical converted weights."""
+    from seq2seq_vc.losses.seq2seq_loss import Seq2SeqLoss as RefS2S
+    from seq2seq_vc.models.vtn import VTN as RefVTN
+    from seq2seq_vc.schedulers.warmup_lr import WarmupLR as RefWarmup
+
+    from seq2seq_vc_tpu.convert import convert_vtn
+    from seq2seq_vc_tpu.losses import get_criterion
+    from seq2seq_vc_tpu.models import VTN
+    from seq2seq_vc_tpu.train.optim import build_optimizer
+
+    warmup_steps = 4
+    # the reference VTN hardcodes its decoder/postnet dropout rates, so
+    # dropout is disabled via eval() on the torch side (grads still flow;
+    # use_batch_norm=False keeps eval mode otherwise identical) and
+    # deterministic=True here
+    cfg = dict(
+        idim=16, odim=16, adim=24, aheads=2, elayers=2, dlayers=2,
+        eunits=48, dunits=48, postnet_layers=2, postnet_chans=12,
+        dprenet_layers=2, dprenet_units=16, dprenet_dropout_rate=0.0,
+        decoder_reduction_factor=2, use_batch_norm=False,
+    )
+    rng = np.random.default_rng(7)
+    B, Tin, Tout = 2, 17, 24
+    xs = rng.standard_normal((B, Tin, 16)).astype(np.float32)
+    ys = rng.standard_normal((B, Tout, 16)).astype(np.float32)
+    ilens = np.array([Tin, Tin])
+    olens = np.array([Tout, Tout])
+    labels = np.zeros((B, Tout), np.float32)
+    labels[:, -1] = 1.0
+
+    torch.manual_seed(3)
+    ref = RefVTN(**cfg)
+    ref.eval()
+    ref_crit = RefS2S(bce_pos_weight=5.0)
+    ref_opt = torch.optim.Adam(ref.parameters(), lr=LR)
+    ref_sched = RefWarmup(ref_opt, warmup_steps=warmup_steps)
+
+    ours = VTN(**cfg)
+    variables = convert_vtn(ref.state_dict(), ours)
+    crit = get_criterion("Seq2SeqLoss", bce_pos_weight=5.0)
+    tx, _ = build_optimizer(
+        optimizer_type="Adam", optimizer_params={"lr": LR},
+        scheduler="warmuplr", scheduler_params={"warmup_steps": warmup_steps},
+        grad_norm=1.0,
+    )
+    opt_state = tx.init(variables)
+
+    def loss_fn(params):
+        out = ours.apply(
+            params, jnp.asarray(xs), jnp.asarray(ilens), jnp.asarray(ys),
+            jnp.asarray(labels), jnp.asarray(olens),
+            deterministic=True, rngs={"dropout": jax.random.PRNGKey(0)},
+        )
+        l1, bce = crit(
+            out["after_outs"], out["before_outs"], out["logits"],
+            out["ys"], out["labels"], out["olens"],
+        )
+        return l1 + bce, {"l1": l1, "bce": bce}
+
+    @jax.jit
+    def step(params, opt_state):
+        (total, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, total, metrics
+
+    for i in range(N_STEPS):
+        ref_opt.zero_grad()
+        r_after, r_before, r_logits, r_ys, r_labels, r_olens, _ = ref(
+            torch.from_numpy(xs), torch.from_numpy(ilens),
+            torch.from_numpy(ys), torch.from_numpy(labels),
+            torch.from_numpy(olens),
+        )
+        r_l1, r_bce = ref_crit(r_after, r_before, r_logits, r_ys, r_labels, r_olens)
+        (r_l1 + r_bce).backward()
+        torch.nn.utils.clip_grad_norm_(ref.parameters(), 1.0)
+        ref_opt.step()
+        ref_sched.step()
+
+        variables, opt_state, total, metrics = step(variables, opt_state)
+        rtol = 3e-4 * (i + 1)
+        np.testing.assert_allclose(
+            float(metrics["l1"]), float(r_l1), rtol=rtol, err_msg=f"step {i} l1"
+        )
+        np.testing.assert_allclose(
+            float(metrics["bce"]), float(r_bce), rtol=rtol, err_msg=f"step {i} bce"
+        )
+
+    _final_params_close(convert_vtn(ref.state_dict(), ours), variables, N_STEPS, LR)
+
+
 def test_aasvc_training_trajectory_parity():
     from seq2seq_vc.losses.duration_predictor_loss import (
         DurationPredictorLoss as RefDP,
@@ -185,25 +301,6 @@ def test_aasvc_training_trajectory_parity():
     # against the optax-trained tree. Adam moves every element by exactly
     # +-lr on early steps regardless of gradient magnitude, so elements
     # with near-zero gradients amplify fp32 grad noise into sign-flipped
-    # +-2*N*lr differences — require >=95% of each leaf tightly matched
-    # (observed floor: 96.2% on the alignment-module kernels, whose grads
-    # are the smallest in the model) and bound the sign-noise tail by the
-    # Adam step-size envelope.
-    final_ref = convert_aasvc(ref.state_dict(), ours)
-    flat_ref = jax.tree_util.tree_leaves_with_path(final_ref)
-    flat_ours = jax.tree_util.tree_leaves(variables)
-    assert len(flat_ref) == len(flat_ours)
-    envelope = 2.1 * N_STEPS * LR
-    for (path, a), b in zip(flat_ref, flat_ours):
-        name = "/".join(getattr(p, "key", str(p)) for p in path)
-        a, b = np.asarray(a), np.asarray(b)
-        diff = np.abs(a - b)
-        tight = diff <= np.abs(a) * 5e-3 + 5e-4
-        assert tight.mean() >= 0.95, (
-            f"final param {name}: only {tight.mean():.1%} tightly matched "
-            f"(max diff {diff.max():.2e})"
-        )
-        assert diff.max() <= envelope, (
-            f"final param {name}: max diff {diff.max():.2e} exceeds the "
-            f"Adam step envelope {envelope:.2e}"
-        )
+    # +-2*N*lr differences (observed tight-fraction floor: 96.2% on the
+    # alignment-module kernels, whose grads are the smallest in the model).
+    _final_params_close(convert_aasvc(ref.state_dict(), ours), variables, N_STEPS, LR)

@@ -35,12 +35,15 @@ from seq2seq_vc_tpu.utils import write_hdf5
 
 
 def test_warmup_lr_matches_reference_formula():
+    # optax count k (completed updates) -> reference f(k + 1): the torch
+    # WarmupLR applies f(1) on the very first optimizer step
     sched = warmup_lr_schedule(8e-5, warmup_steps=4000)
-    for step in [1, 100, 4000, 10000]:
+    for count in [0, 1, 99, 3999, 9999]:
+        step = count + 1
         want = 8e-5 * 4000 ** 0.5 * min(step ** -0.5, step * 4000 ** -1.5)
-        assert float(sched(jnp.asarray(step))) == pytest.approx(want, rel=1e-5)
+        assert float(sched(jnp.asarray(count))) == pytest.approx(want, rel=1e-5)
     # peak at warmup_steps equals base lr
-    assert float(sched(jnp.asarray(4000))) == pytest.approx(8e-5, rel=1e-6)
+    assert float(sched(jnp.asarray(3999))) == pytest.approx(8e-5, rel=1e-6)
 
 
 def test_optimizer_freeze_mods():
