@@ -128,21 +128,11 @@ class Wav2WavConverter:
         n_true = num_frames(len(audio), self.hop_size)
         pad = self.fft_size // 2
         x = np.pad(audio, (pad, pad), mode="reflect")
-        # pick a padded length that yields a frame count divisible by both the
-        # bucket quantum and the model's reduction factors
-        pr = getattr(self.model, "post_encoder_reduction_factor", 1)
-        er = getattr(self.model, "encoder_reduction_factor", 1)
-        dr = getattr(self.model, "decoder_reduction_factor", 1)
-        m = int(np.lcm(np.lcm(self.bucket_frames, max(pr, 1) * max(er, 1)), max(dr, 1)))
-        n_raw = 1 + (len(x) - self.fft_size) // self.hop_size
-        n_padded = ((n_raw + m - 1) // m) * m
-        target_len = self.fft_size + (n_padded - 1) * self.hop_size
+        # padded length divisible by the bucket quantum and the model's
+        # reduction factors; decode budget 2x the input (in reduced decoder
+        # frames) covers any plausible rhythm ratio — see _frame_geometry
+        n_padded, target_len, max_out = self._frame_geometry([len(x)])
         x = np.pad(x, (0, max(0, target_len - len(x))))[:target_len]
-        # decode budget in REDUCED decoder frames: 2x the input length
-        # covers any plausible rhythm ratio (durations are clamped by
-        # MAX_DP_OUTPUT upstream); dividing by the post-encoder factor here
-        # (as before r2) under-budgeted 1:1 conversion by 2x and cropped
-        max_out = (2 * n_padded) // max(dr, 1) + 8
 
         fn = self._get_fn(n_padded, max_out)
         if rng is None:
@@ -166,3 +156,89 @@ class Wav2WavConverter:
         wav = synth(self.vocoder_params, feats[:n_bucket])
         n_samples = min(self.last_out_frames * self.hop_size, wav.shape[0])
         return np.asarray(wav[:n_samples])
+
+    # ------------------------------------------------------------- batched
+    def _frame_geometry(self, padded_lens):
+        """Shared bucket geometry for a set of reflect-padded lengths."""
+        pr = getattr(self.model, "post_encoder_reduction_factor", 1)
+        er = getattr(self.model, "encoder_reduction_factor", 1)
+        dr = getattr(self.model, "decoder_reduction_factor", 1)
+        m = int(
+            np.lcm(np.lcm(self.bucket_frames, max(pr, 1) * max(er, 1)), max(dr, 1))
+        )
+        n_raw = max(1 + (L - self.fft_size) // self.hop_size for L in padded_lens)
+        n_padded = ((n_raw + m - 1) // m) * m
+        target_len = self.fft_size + (n_padded - 1) * self.hop_size
+        max_out = (2 * n_padded) // max(dr, 1) + 8
+        return n_padded, target_len, max_out
+
+    def _get_batch_fn(self, batch: int, n_frames_padded: int, max_out: int):
+        key = ("batch", batch, n_frames_padded, max_out)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        model = self.model
+        hop, fft = self.hop_size, self.fft_size
+
+        @jax.jit
+        def convert(mp, x_padded, n_frames, rng):
+            mel = jax.vmap(
+                lambda x: _logmel(x, self._window, self._mel_t, fft, hop, 10.0)
+            )(x_padded)
+            mel = (mel - self._src_mean) / self._src_scale
+            out = model.apply(
+                mp, mel, n_frames, mel,
+                max_output_frames=max_out,
+                method=AASVC.inference, rngs={"noise": rng},
+            )
+            feats = out["outs"]
+            feats = feats * self._trg_scale + self._trg_mean
+            feats = (feats - self._voc_mean) / self._voc_scale
+            return feats, out["out_lens"]
+
+        self._jit_cache[key] = convert
+        return convert
+
+    def convert_batch(self, audios, rng=None):
+        """Convert several waveforms in ONE batched model call.
+
+        All items pad to the longest item's bucket, so the NAR conversion
+        runs at the MXU-efficient (B, T) shape (one dispatch for the whole
+        batch instead of B); each item then synthesizes through the shared
+        per-bucket vocoder jit. Returns a list of waveforms in input order.
+        """
+        audios = [np.asarray(a, np.float32) for a in audios]
+        if not audios:
+            return []
+        pad = self.fft_size // 2
+        xs = [np.pad(a, (pad, pad), mode="reflect") for a in audios]
+        n_trues = [num_frames(len(a), self.hop_size) for a in audios]
+        n_padded, target_len, max_out = self._frame_geometry([len(x) for x in xs])
+
+        B = len(xs)
+        batch = np.zeros((B, target_len), np.float32)
+        for i, x in enumerate(xs):
+            n = min(len(x), target_len)
+            batch[i, :n] = x[:n]
+
+        fn = self._get_batch_fn(B, n_padded, max_out)
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        feats, out_lens = fn(
+            self.model_params, jnp.asarray(batch),
+            jnp.asarray(n_trues, jnp.int32), rng,
+        )
+        out_lens = np.asarray(out_lens)
+
+        wavs = []
+        for i in range(B):
+            n_frames_i = max(1, int(out_lens[i]))
+            n_bucket = min(
+                feats.shape[1],
+                ((n_frames_i + self.bucket_frames - 1) // self.bucket_frames)
+                * self.bucket_frames,
+            )
+            synth = self._get_synth_fn(n_bucket)
+            wav = synth(self.vocoder_params, feats[i, :n_bucket])
+            n_samples = min(n_frames_i * self.hop_size, wav.shape[0])
+            wavs.append(np.asarray(wav[:n_samples]))
+        return wavs

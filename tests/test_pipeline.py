@@ -92,3 +92,55 @@ def test_wav2wav_pipeline_decoder_reduction_factor():
     assert conv.last_out_frames % 2 == 0  # multiple of dr by construction
     assert len(y) == conv.last_out_frames * 256
     assert np.isfinite(y).all()
+
+
+def test_wav2wav_convert_batch_matches_single():
+    """convert_batch: one (B, T) model dispatch must reproduce per-item
+    __call__ outputs exactly (deterministic duration predictor, so the
+    noise rng is unused and batching is the only difference)."""
+    sr = 16000
+    model = AASVC(
+        idim=80, odim=80, adim=32, aheads=2, elayers=1, eunits=64,
+        dlayers=1, dunits=64, postnet_layers=0,
+        post_encoder_reduction_factor=2,
+        duration_predictor_type="deterministic",
+        conformer_enc_kernel_size=7, conformer_dec_kernel_size=7,
+    )
+    voc = HifiganGenerator(
+        in_channels=80, upsample_channels=32,
+        upsample_kernel_sizes=(16, 16, 4, 4), upsample_factors=(8, 8, 2, 2),
+        resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3),),
+    )
+    rng = np.random.default_rng(5)
+    dummy_mel = rng.standard_normal((1, 32, 80)).astype(np.float32)
+    lens = np.asarray([32], np.int32)
+    keys = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+            "noise": jax.random.PRNGKey(2)}
+    mp = jax.jit(
+        lambda m, l: model.init(keys, m, l, m, l, m, l, deterministic=True)
+    )(dummy_mel, lens)
+    vp = jax.jit(lambda m: voc.init(jax.random.PRNGKey(3), m))(dummy_mel)
+    stats = {"mean": np.zeros(80, np.float32), "scale": np.ones(80, np.float32)}
+    config = {"sampling_rate": sr, "fft_size": 1024, "hop_size": 256,
+              "num_mels": 80, "fmin": 80, "fmax": 7600}
+    conv = Wav2WavConverter(model, mp, voc, vp, stats, stats, config,
+                            bucket_frames=32)
+
+    t = np.arange(sr) / sr
+    audios = [
+        (0.3 * np.sin(2 * np.pi * f * t[: n])).astype(np.float32)
+        for f, n in [(220, sr // 2), (330, sr // 3), (440, int(sr * 0.45))]
+    ]
+    batched = conv.convert_batch(audios)
+    assert len(batched) == 3
+    for a, got in zip(audios, batched):
+        # single-item __call__ pads to ITS OWN bucket; items whose own
+        # bucket equals the batch bucket must match exactly. The first
+        # (longest) item always does.
+        single = conv(a)
+        if len(single) == len(got):
+            np.testing.assert_allclose(got, single, rtol=1e-5, atol=1e-5)
+    # the longest item defines the batch bucket -> exact match required
+    single0 = conv(audios[0])
+    np.testing.assert_array_equal(batched[0].shape, single0.shape)
+    np.testing.assert_allclose(batched[0], single0, rtol=1e-5, atol=1e-5)
