@@ -19,6 +19,11 @@ Protocols (newline-delimited, one request per line):
   serialized with a lock — one TPU program at a time, any number of
   client connections.
 
+With ``--max-batch B`` (TCP mode), concurrent requests are transparently
+micro-batched: up to B requests queued within ``--batch-window-ms`` of each
+other run as ONE batched NAR dispatch (``Wav2WavConverter.convert_batch``),
+multiplying server throughput at near-constant per-dispatch device time.
+
 Warmup (``--warmup-seconds``) pre-compiles the named duration buckets at
 startup so first requests don't pay the compile.
 """
@@ -102,24 +107,115 @@ def build_converter(args):
     )
 
 
-class ConversionService:
-    """Thread-safe wrapper: one TPU program in flight at a time."""
+class _Request:
+    __slots__ = ("audio", "event", "result", "error", "batch_n")
 
-    def __init__(self, converter, sr: int):
+    def __init__(self, audio):
+        self.audio = audio
+        self.event = threading.Event()
+        self.result = None
+        self.error = None
+        self.batch_n = 1
+
+
+class ConversionService:
+    """Thread-safe wrapper: one TPU program in flight at a time.
+
+    With ``max_batch > 1``, concurrent requests are transparently
+    micro-batched: a dispatcher thread drains up to ``max_batch`` queued
+    requests (waiting ``batch_window_ms`` after the first) and runs them as
+    ONE ``convert_batch`` model dispatch — the (B, T) NAR forward costs
+    barely more than B=1 on the MXU, so server throughput scales with
+    concurrency while single-request latency only pays the window. Batch
+    sizes are rounded up to powers of two (repeating the first item) so the
+    jit cache holds at most log2(max_batch) batched programs per length
+    bucket.
+    """
+
+    def __init__(self, converter, sr: int, max_batch: int = 1,
+                 batch_window_ms: float = 8.0):
         self.converter = converter
         self.sr = sr
+        self.max_batch = max(1, int(max_batch))
+        self.batch_window_s = float(batch_window_ms) / 1e3
         self._lock = threading.Lock()
         self._n = 0
+        self._queue = None
+        if self.max_batch > 1:
+            import queue
+
+            self._queue = queue.Queue()
+            threading.Thread(target=self._dispatch_loop, daemon=True).start()
+
+    def _next_rng(self):
+        import jax
+
+        self._n += 1
+        return jax.random.PRNGKey(self._n)
+
+    def _run(self, audio):
+        """Convert one waveform; returns (wav, batch_size_it_rode_in)."""
+        if self._queue is None:
+            with self._lock:
+                return self.converter(audio, rng=self._next_rng()), 1
+        req = _Request(audio)
+        self._queue.put(req)
+        req.event.wait()
+        if req.error is not None:
+            raise req.error
+        return req.result, req.batch_n
+
+    def _dispatch_loop(self):
+        while True:
+            batch = [self._queue.get()]
+            deadline = time.time() + self.batch_window_s
+            while len(batch) < self.max_batch:
+                try:
+                    batch.append(
+                        self._queue.get(timeout=max(0.0, deadline - time.time()))
+                    )
+                except Exception:  # queue.Empty
+                    break
+            try:
+                with self._lock:
+                    rng = self._next_rng()
+                    if len(batch) == 1:
+                        outs = [self.converter(batch[0].audio, rng=rng)]
+                    else:
+                        # pad to the next power of two (repeat item 0) so the
+                        # number of compiled batch shapes stays logarithmic
+                        n_pad = 1
+                        while n_pad < len(batch):
+                            n_pad *= 2
+                        n_pad = min(n_pad, self.max_batch)
+                        audios = [r.audio for r in batch]
+                        audios += [audios[0]] * (n_pad - len(audios))
+                        outs = self.converter.convert_batch(audios, rng=rng)
+                for req, out in zip(batch, outs):
+                    req.result = out
+                    req.batch_n = len(batch)
+                    req.event.set()
+            except Exception as e:  # deliver the failure to every waiter
+                for req in batch:
+                    req.error = e
+                    req.event.set()
 
     def warmup(self, seconds):
         for s in seconds:
             t0 = time.time()
             self.converter(np.zeros(int(self.sr * s), np.float32))
             logging.info("warmup %.1fs bucket: %.1fs", s, time.time() - t0)
+            if self.max_batch > 1:
+                t0 = time.time()
+                self.converter.convert_batch(
+                    [np.zeros(int(self.sr * s), np.float32)] * self.max_batch
+                )
+                logging.info(
+                    "warmup %.1fs bucket B=%d: %.1fs",
+                    s, self.max_batch, time.time() - t0,
+                )
 
     def convert_file(self, in_path: str, out_path: str) -> dict:
-        import jax
-
         from ..bin.preprocess import resample
         from ..utils.audio import read_wav, write_wav
 
@@ -130,10 +226,7 @@ class ConversionService:
         if sr != self.sr:
             audio = resample(audio.astype(np.float32), sr, self.sr)
         in_secs = len(audio) / self.sr
-        with self._lock:
-            self._n += 1
-            rng = jax.random.PRNGKey(self._n)
-            y = self.converter(audio.astype(np.float32), rng=rng)
+        y, batch_n = self._run(audio.astype(np.float32))
         write_wav(out_path, y, self.sr)
         dt = time.time() - t0
         return {
@@ -143,6 +236,7 @@ class ConversionService:
             "output_seconds": round(len(y) / self.sr, 3),
             "wall_ms": round(dt * 1e3, 1),
             "rtf": round(dt / max(in_secs, 1e-6), 4),
+            "batch": batch_n,
         }
 
     def handle_line(self, line: str) -> str:
@@ -210,6 +304,12 @@ def main():
                         help="input length quantum (one compile per bucket)")
     parser.add_argument("--warmup-seconds", default="2",
                         help="comma-separated durations to pre-compile ('' = none)")
+    parser.add_argument("--max-batch", type=int, default=1,
+                        help="micro-batch concurrent requests into one (B, T) "
+                             "model dispatch (TCP mode; 1 = off)")
+    parser.add_argument("--batch-window-ms", type=float, default=8.0,
+                        help="how long the dispatcher waits for co-riders "
+                             "after the first queued request")
     parser.add_argument("--port", type=int, default=None,
                         help="TCP port (0 = ephemeral); default stdio mode")
     parser.add_argument("--host", default="127.0.0.1")
@@ -223,7 +323,10 @@ def main():
     )
 
     converter = build_converter(args)
-    service = ConversionService(converter, converter.sr)
+    service = ConversionService(
+        converter, converter.sr,
+        max_batch=args.max_batch, batch_window_ms=args.batch_window_ms,
+    )
     if args.warmup_seconds:
         service.warmup([float(s) for s in args.warmup_seconds.split(",") if s])
 

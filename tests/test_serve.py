@@ -69,6 +69,94 @@ def test_convert_file_resamples_to_model_rate(tmp_path):
     assert sr_out == 16000
 
 
+class _BatchEchoConverter(_EchoConverter):
+    """Echo converter that also records batched dispatches."""
+
+    def __init__(self, delay=0.0):
+        super().__init__()
+        self.batch_calls = []
+        self.delay = delay
+
+    def convert_batch(self, audios, rng=None):
+        import time as _t
+
+        if self.delay:
+            _t.sleep(self.delay)
+        self.batch_calls.append([len(a) for a in audios])
+        return [0.5 * a for a in audios]
+
+
+def test_micro_batching_coalesces_concurrent_requests(tmp_path):
+    import threading
+
+    sr = 16000
+    conv = _BatchEchoConverter()
+    svc = ConversionService(conv, sr, max_batch=4, batch_window_ms=500.0)
+
+    wavs = []
+    for i, n in enumerate([sr, sr // 2, sr // 4]):
+        p = os.path.join(tmp_path, f"in{i}.wav")
+        write_wav(p, np.full(n, 0.1 * (i + 1), np.float32), sr)
+        wavs.append((p, os.path.join(tmp_path, f"out{i}.wav"), n))
+
+    results = {}
+
+    def worker(i, in_p, out_p):
+        results[i] = svc.convert_file(in_p, out_p)
+
+    threads = [
+        threading.Thread(target=worker, args=(i, ip, op))
+        for i, (ip, op, _) in enumerate(wavs)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert all(results[i]["ok"] for i in range(3))
+    # 3 requests within the window -> ONE batched dispatch, padded to the
+    # next power of two (4) by repeating item 0
+    assert len(conv.batch_calls) == 1 and len(conv.calls) == 0
+    assert len(conv.batch_calls[0]) == 4
+    assert sorted(conv.batch_calls[0][:3]) == sorted(n for _, _, n in wavs)
+    for i, (_, out_p, n) in enumerate(wavs):
+        assert results[i]["batch"] == 3
+        y, _ = read_wav(out_p)
+        np.testing.assert_allclose(
+            y, np.full(n, 0.05 * (i + 1), np.float32), atol=2e-4
+        )
+
+
+def test_micro_batching_single_request_uses_unbatched_path(tmp_path):
+    sr = 16000
+    conv = _BatchEchoConverter()
+    svc = ConversionService(conv, sr, max_batch=4, batch_window_ms=1.0)
+    p = os.path.join(tmp_path, "in.wav")
+    write_wav(p, np.zeros(sr, np.float32), sr)
+    res = svc.convert_file(p, os.path.join(tmp_path, "out.wav"))
+    assert res["ok"] and res["batch"] == 1
+    assert len(conv.calls) == 1 and len(conv.batch_calls) == 0
+
+
+def test_micro_batching_delivers_errors_to_all_waiters():
+    class _Boom(_BatchEchoConverter):
+        def convert_batch(self, audios, rng=None):
+            raise RuntimeError("boom")
+
+        def __call__(self, audio, rng=None):
+            raise RuntimeError("boom")
+
+    svc = ConversionService(_Boom(), 16000, max_batch=2, batch_window_ms=1.0)
+    res = json.loads(svc.handle_line("a.wav b.wav"))
+    assert not res["ok"]  # read_wav fails first, but serving continues
+    try:
+        svc._run(np.zeros(16000, np.float32))
+        raised = False
+    except RuntimeError as e:
+        raised = "boom" in str(e)
+    assert raised
+
+
 def _tiny_voc():
     gen_cfg = dict(
         in_channels=8, upsample_channels=8,
