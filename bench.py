@@ -224,45 +224,41 @@ def bench_ar_decode(jax, jnp):
 
     params = jax.jit(_init)(src, slens, labels, 0)
 
-    chunk = 32
+    # production decode path (bin/vc_decode.py): ChunkedARDecoder with
+    # geometric chunk growth + speculative dispatch. maxlenratio 4.0 ->
+    # 256-step KV budget; threshold 1.1 never stops early, so every decode
+    # runs the full budget (raw AR throughput incl. postnet + out_lens,
+    # exactly the frames a real decode computes). 4 chunk dispatches per
+    # decode (32+64+128+32) vs 8 fixed-size ones before round 3.
+    from seq2seq_vc_tpu.models.ar_driver import ChunkedARDecoder
 
-    # closed-over python constants (the vc_decode pattern): maxlenratio 4.0
-    # -> 256-step KV budget; threshold 1.1 never stops early, so every chunk
-    # runs all steps (measures raw AR step throughput over the full budget)
-    init_jit = jax.jit(
-        lambda p, s, sl, seed: model.apply(
-            p, s, sl, jax.random.PRNGKey(seed), 4.0, method=VTN.decode_init
-        )
+    drv = ChunkedARDecoder(
+        model, VTN, threshold=1.1, minlenratio=0.0, maxlenratio=4.0,
+        base_chunk=32, max_chunk=256,
     )
-    chunk_jit = jax.jit(
-        lambda p, st, t0: model.apply(
-            p, st, t0, chunk, 1.1, 0.0, 4.0, method=VTN.decode_chunk
-        )
+    src_d = jnp.asarray(src)
+    slens_d = jnp.asarray(slens)
+    maxlen = int(
+        drv._init_fn(params, src_d, slens_d, jax.random.PRNGKey(0))
+        ["cache"]["k"].shape[3]
     )
-    st = init_jit(params, src, slens, 0)
-    maxlen = int(st["cache"]["k"].shape[3])
-    n_chunks = maxlen // chunk
-    st, outs, probs, att = chunk_jit(params, st, 0)
-    jax.block_until_ready(outs)  # compile both
+    out = drv(params, src_d, slens_d, jax.random.PRNGKey(0))
+    jax.block_until_ready(out["outs"])  # compile all chunk sizes + postnet
 
-    n_iter = 4  # full decodes of n_chunks*chunk steps each
+    n_iter = 4  # full decodes of maxlen steps each
+    r = 4
     rates = []
     for _pass in range(N_PASSES):
         t0 = time.time()
-        total_steps = 0
         out_sum = 0.0
         for it in range(n_iter):
-            st = init_jit(params, src, slens, it)
-            for c in range(n_chunks):
-                st, outs, probs, att = chunk_jit(params, st, c * chunk)
-                total_steps += chunk
+            out = drv(params, src_d, slens_d, jax.random.PRNGKey(it))
             # fetch per decode keeps the timing honest (a real decode fetches
             # its output too) and chains the loop for the async runtime
-            out_sum += float(np.asarray(outs).mean())
+            out_sum += float(np.asarray(out["outs"]).mean())
         dt = time.time() - t0
         assert np.isfinite(out_sum)
-        r = 4
-        rates.append(total_steps * r * B / dt)
+        rates.append(maxlen * n_iter * r * B / dt)
     return median_of(rates)
 
 

@@ -99,6 +99,14 @@ if [ "$stage" -le 6 ] && [ "$stop_stage" -ge 6 ]; then
     --outdir "$workdir/results_tf" \
     --trg-stats "$workdir/stats/trg/stats.h5"
   echo "durations:"; ls "$workdir/results_tf/durations" | head -3
+  echo "=== stage 6b: free-running AR decode (chunked early-exit driver)"
+  python -m seq2seq_vc_tpu.bin.vc_decode \
+    --dumpdir "$workdir/dump/src/norm" \
+    --checkpoint "$ckpt" \
+    --outdir "$workdir/results_ar" \
+    --batch-size 4 \
+    --trg-stats "$workdir/stats/trg/stats.h5"
+  echo "AR decoded wavs:"; ls "$workdir/results_ar/wav" | head -3
 fi
 
 if [ "$stage" -le 7 ] && [ "$stop_stage" -ge 7 ]; then

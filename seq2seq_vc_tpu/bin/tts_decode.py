@@ -83,17 +83,19 @@ def main():
     vocoder = get_vocoder(config, stats)
     inf_cfg = config.get("inference", {}) or {}
 
-    inference = getattr(model_class, "inference")
+    # chunked AR decode with host early exit (models/ar_driver.py): the
+    # device only runs geometric chunks until the batch stops, instead of
+    # the full maxlenratio-10 budget the single-scan inference() pays
+    from ..models.ar_driver import ChunkedARDecoder
 
-    @jax.jit
-    def run(p, xs, ilens, key):
-        return model.apply(
-            p, xs, ilens, key,
-            inf_cfg.get("threshold", 0.5),
-            inf_cfg.get("minlenratio", 0.0),
-            inf_cfg.get("maxlenratio", 10.0),
-            method=inference,
-        )
+    run = ChunkedARDecoder(
+        model, model_class,
+        threshold=inf_cfg.get("threshold", 0.5),
+        minlenratio=inf_cfg.get("minlenratio", 0.0),
+        maxlenratio=inf_cfg.get("maxlenratio", 10.0),
+        base_chunk=int(inf_cfg.get("decode_chunk_steps", 32)),
+        max_chunk=int(inf_cfg.get("decode_max_chunk_steps", 256)),
+    )
 
     texts = read_2column_text(args.text)
     os.makedirs(args.outdir, exist_ok=True)

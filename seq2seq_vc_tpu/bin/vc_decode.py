@@ -135,56 +135,20 @@ def main():
         # full maxlenratio budget, but the device only runs chunks until
         # every item in the batch has stopped — the single-scan inference()
         # would burn the whole budget (mostly dead steps at maxlenratio 6+
-        # for short utterances). One compiled chunk fn serves all chunks.
-        thr = inf_cfg.get("threshold", 0.5)
-        minr = inf_cfg.get("minlenratio", 0.0)
-        maxr = inf_cfg.get("maxlenratio", 6.0)
-        chunk = int(inf_cfg.get("decode_chunk_steps", 32))
-        init_fn = jax.jit(
-            lambda p, xs, ilens, key: model.apply(
-                p, xs, ilens, key, maxr, method=model_class.decode_init
-            )
-        )
-        chunk_fn = jax.jit(
-            lambda p, st, t0: model.apply(
-                p, st, t0, chunk, thr, minr, maxr,
-                method=model_class.decode_chunk,
-            )
-        )
-        lens_fn = jax.jit(
-            lambda p, st: model.apply(
-                p, st, maxr, method=model_class.decode_out_lens
-            )
-        )
-        post_cache = {}
+        # for short utterances). The driver doubles chunk sizes (O(log)
+        # host round trips; a handful of compiles served by the persistent
+        # XLA cache) and speculatively dispatches the next chunk before
+        # fetching the previous finished flags (models/ar_driver.py).
+        from ..models.ar_driver import ChunkedARDecoder
 
-        def run(p, xs, ilens, key):
-            st = init_fn(p, xs, ilens, key)
-            maxlen = st["cache"]["k"].shape[3]
-            outs_c, probs_c, att_c = [], [], []
-            t0 = 0
-            while t0 < maxlen:
-                st, outs, probs, att = chunk_fn(p, st, t0)
-                outs_c.append(outs)
-                probs_c.append(probs)
-                att_c.append(att)
-                t0 += chunk
-                if bool(np.asarray(st["finished"]).all()):
-                    break
-            outs = jnp.concatenate(outs_c, axis=1)
-            L = outs.shape[1]
-            if L not in post_cache:
-                post_cache[L] = jax.jit(
-                    lambda p, o: model.apply(
-                        p, o, method=model_class.decode_postnet
-                    )
-                )
-            return {
-                "outs": post_cache[L](p, outs),
-                "probs": jnp.concatenate(probs_c, axis=1),
-                "att_ws": jnp.concatenate(att_c, axis=3),
-                "out_lens": lens_fn(p, st),
-            }
+        run = ChunkedARDecoder(
+            model, model_class,
+            threshold=inf_cfg.get("threshold", 0.5),
+            minlenratio=inf_cfg.get("minlenratio", 0.0),
+            maxlenratio=inf_cfg.get("maxlenratio", 6.0),
+            base_chunk=int(inf_cfg.get("decode_chunk_steps", 32)),
+            max_chunk=int(inf_cfg.get("decode_max_chunk_steps", 256)),
+        )
     else:
         from functools import partial
 

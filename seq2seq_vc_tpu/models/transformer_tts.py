@@ -17,9 +17,10 @@ import jax.numpy as jnp
 from ..nn.pre_postnets import Postnet, Prenet
 from ..nn.transformer import Decoder, Encoder
 from ..ops.masks import make_non_pad_mask, target_mask
+from .chunked_decode import ChunkedARDecodeMixin
 
 
-class TransformerTTS(nn.Module):
+class TransformerTTS(ChunkedARDecodeMixin, nn.Module):
     idim: int  # vocabulary size (eos = idim - 1)
     odim: int
     embed_dim: int = 512  # accepted for config parity (embedding is adim-sized)
@@ -230,22 +231,9 @@ class TransformerTTS(nn.Module):
             rng,
         )
 
-        def body(carry, t):
-            y_prev, cache, finished, out_len, key = carry
-            key, sub = jax.random.split(key)
-            emb = self.dprenet_proj(self.dprenet(y_prev, rng=sub))
-            z, cache, ca_w = self.decoder.step(emb, t, cache, mem_kv, h_masks)
-            out_r = self.feat_out(z).reshape(B, r, self.odim)
-            prob_r = jax.nn.sigmoid(self.prob_out(z))
-            stop_now = jnp.any(prob_r >= threshold, axis=-1)
-            done_now = (stop_now & (t + 1 >= minlen_b)) | (t + 1 >= maxlen_b)
-            newly = (~finished) & done_now
-            out_len = jnp.where(newly, t + 1, out_len)
-            finished = finished | done_now
-            return (out_r[:, -1:, :], cache, finished, out_len, key), (
-                out_r, prob_r, ca_w[:, :, :, 0, :],
-            )
-
+        body = self._decode_body(
+            r, B, threshold, minlen_b, maxlen_b, mem_kv, h_masks
+        )
         (_, _, finished, out_len, _), (outs, probs, att) = jax.lax.scan(
             body, init, jnp.arange(maxlen)
         )
