@@ -141,6 +141,7 @@ class ConversionService:
         self._lock = threading.Lock()
         self._n = 0
         self._queue = None
+        self.last_activity = time.time()
         if self.max_batch > 1:
             import queue
 
@@ -155,6 +156,7 @@ class ConversionService:
 
     def _run(self, audio):
         """Convert one waveform; returns (wav, batch_size_it_rode_in)."""
+        self.last_activity = time.time()
         if self._queue is None:
             with self._lock:
                 return self.converter(audio, rng=self._next_rng()), 1
@@ -262,7 +264,22 @@ def serve_stdio(service: ConversionService):
         print(service.handle_line(line), flush=True)
 
 
-def serve_tcp(service: ConversionService, host: str, port: int):
+def serve_tcp(service: ConversionService, host: str, port: int,
+              max_idle_seconds: float = 0.0):
+    """TCP line server with graceful drain.
+
+    On single-accelerator deployments an orphaned resident server is worse
+    than a crash: it silently holds the device client/grant and starves every
+    other process (observed with this image's one-process-per-chip TPU
+    relay). Two guards:
+
+    - SIGTERM/SIGINT trigger a *drain* — stop accepting, wait for the device
+      lock so no program is mid-execution (an abort mid-execution wedges the
+      chip for minutes), then exit 0.
+    - ``max_idle_seconds > 0``: a watchdog exits the server after that long
+      without a request, so forgotten daemons release the device on their own.
+    """
+    import signal
     import socketserver
 
     class Handler(socketserver.StreamRequestHandler):
@@ -279,9 +296,42 @@ def serve_tcp(service: ConversionService, host: str, port: int):
         daemon_threads = True
 
     with Server((host, port), Handler) as srv:
+        def _graceful(signum, frame):
+            logging.info("signal %d: draining and shutting down", signum)
+            threading.Thread(target=srv.shutdown, daemon=True).start()
+
+        old_handlers = {}
+        if threading.current_thread() is threading.main_thread():
+            old_handlers = {
+                s: signal.signal(s, _graceful)
+                for s in (signal.SIGTERM, signal.SIGINT)
+            }
+        if max_idle_seconds and max_idle_seconds > 0:
+            def _watchdog():
+                while True:
+                    time.sleep(min(30.0, max_idle_seconds / 2))
+                    idle = time.time() - service.last_activity
+                    if idle > max_idle_seconds:
+                        logging.info(
+                            "idle %.0fs > --max-idle-seconds %.0f: exiting",
+                            idle, max_idle_seconds,
+                        )
+                        threading.Thread(
+                            target=srv.shutdown, daemon=True
+                        ).start()
+                        return
+
+            threading.Thread(target=_watchdog, daemon=True).start()
         logging.info("serving on %s:%d", host, srv.server_address[1])
         print(json.dumps({"ready": True, "port": srv.server_address[1]}), flush=True)
         srv.serve_forever()
+        # drain: no new work is accepted; take the device lock so any
+        # in-flight TPU program finishes before the process exits
+        with service._lock:
+            pass
+        for s, h in old_handlers.items():
+            signal.signal(s, h)
+        logging.info("drained; exiting cleanly")
 
 
 def main():
@@ -313,6 +363,10 @@ def main():
     parser.add_argument("--port", type=int, default=None,
                         help="TCP port (0 = ephemeral); default stdio mode")
     parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--max-idle-seconds", type=float, default=0.0,
+                        help="TCP mode: exit after this long without a "
+                             "request (0 = never; forgotten daemons hold the "
+                             "accelerator and starve other processes)")
     parser.add_argument("--verbose", type=int, default=1)
     args = parser.parse_args()
 
@@ -333,7 +387,8 @@ def main():
     if args.port is None:
         serve_stdio(service)
     else:
-        serve_tcp(service, args.host, args.port)
+        serve_tcp(service, args.host, args.port,
+                  max_idle_seconds=args.max_idle_seconds)
 
 
 if __name__ == "__main__":

@@ -157,6 +157,29 @@ def test_micro_batching_delivers_errors_to_all_waiters():
     assert raised
 
 
+def test_tcp_idle_watchdog_exits_and_drains(tmp_path):
+    """A forgotten TCP daemon must release the accelerator on its own:
+    --max-idle-seconds shuts the server down after inactivity (and the
+    drain path — waiting on the device lock — runs without deadlock)."""
+    import threading
+
+    from seq2seq_vc_tpu.bin.vc_serve import serve_tcp
+
+    sr = 16000
+    svc = ConversionService(_EchoConverter(), sr)
+    ready = {}
+
+    def _serve():
+        # port 0 = ephemeral
+        serve_tcp(svc, "127.0.0.1", 0, max_idle_seconds=0.5)
+        ready["done"] = True
+
+    t = threading.Thread(target=_serve, daemon=True)
+    t.start()
+    t.join(timeout=20.0)
+    assert ready.get("done"), "idle watchdog did not shut the server down"
+
+
 def _tiny_voc():
     gen_cfg = dict(
         in_channels=8, upsample_channels=8,
