@@ -7,6 +7,7 @@ from .duration import DurationPredictorLoss, StochasticDurationPredictorLoss  # 
 from .forward_sum import ForwardSumLoss  # noqa: F401
 from .guided_attention import GuidedAttentionLoss, GuidedMultiHeadAttentionLoss  # noqa: F401
 from .mle import MLELoss  # noqa: F401
+from .diffsinger_l2 import DiffSingerL2Loss  # noqa: F401
 
 _CRITERIONS = {
     "Seq2SeqLoss": Seq2SeqLoss,
@@ -17,6 +18,7 @@ _CRITERIONS = {
     "GuidedAttentionLoss": GuidedAttentionLoss,
     "GuidedMultiHeadAttentionLoss": GuidedMultiHeadAttentionLoss,
     "MLELoss": MLELoss,
+    "DiffSingerL2Loss": DiffSingerL2Loss,
 }
 
 

@@ -17,7 +17,11 @@ TPU-first changes:
 
 The diffsinger/prodiff decoder branches named in the reference are
 config-gated dead code there (classes absent from the snapshot —
-``models/aas_vc.py:207-230``) and are rejected here with a clear error.
+``models/aas_vc.py:207-230`` would NameError). Here they are implemented
+natively (``nn/diffusion.py``): ``decoder_type: diffsinger`` trains an
+eps-prediction Gaussian diffusion decoder via DiffSingerL2Loss, and
+``decoder_type: prodiff`` an x0-prediction denoiser through the ordinary
+L1 path — both sample with a static-length ``lax.scan``.
 """
 
 from __future__ import annotations
@@ -30,6 +34,7 @@ import jax.numpy as jnp
 
 from ..nn.alignment import AlignmentModule
 from ..nn.conformer import ConformerEncoder
+from ..nn.diffusion import GaussianDiffusion, SpectogramDenoiser
 from ..nn.conv import sp_safe_convs
 from ..nn.duration_predictor import DurationPredictor
 from ..nn.flows import StochasticDurationPredictor
@@ -78,6 +83,18 @@ class AASVC(nn.Module):
     postnet_chans: int = 512
     postnet_filts: int = 5
     postnet_dropout_rate: float = 0.5
+    # diffusion decoders (reference config surface, aas_vc.py:95-104;
+    # diffsinger_diffusion_steps is a native extension knob — the reference
+    # exposes no step count for diffsinger)
+    diffsinger_denoiser_residual_channels: int = 256
+    diffsinger_diffusion_steps: int = 100
+    prodiff_denoiser_layers: int = 20
+    prodiff_denoiser_channels: int = 256
+    prodiff_diffusion_steps: int = 1000
+    prodiff_diffusion_timescale: int = 1
+    prodiff_diffusion_beta: float = 40.0
+    prodiff_diffusion_scheduler: str = "vpsde"
+    prodiff_diffusion_cycle_ln: int = 1
     use_masking: bool = True  # consumed by the trainer's losses
     # the reference AASVC has NO rel_pos_type compatibility fallback (that is
     # VTN-only, vtn.py:84-105): 'rel_pos'/'rel_selfattn' there are the NEW
@@ -132,10 +149,9 @@ class AASVC(nn.Module):
     def setup(self):
         if self.encoder_type != "conformer":
             raise NotImplementedError("AASVC supports conformer encoder only")
-        if self.decoder_type not in ("conformer",):
+        if self.decoder_type not in ("conformer", "diffsinger", "prodiff"):
             raise ValueError(
-                f"decoder_type {self.decoder_type!r} is not supported "
-                "(diffsinger/prodiff are absent from the reference snapshot too)"
+                f"decoder_type {self.decoder_type!r} is not supported"
             )
         pos_enc, self_attn = self._conformer_types()
         self.encoder = ConformerEncoder(
@@ -192,34 +208,60 @@ class AASVC(nn.Module):
             adim=self.adim * self.post_encoder_reduction_factor
         )
 
-        self.decoder = ConformerEncoder(
-            idim=0,
-            attention_dim=self.adim * self.post_encoder_reduction_factor,
-            attention_heads=self.aheads,
-            linear_units=self.dunits,
-            num_blocks=self.dlayers,
-            input_layer=None,
-            dropout_rate=self.transformer_dec_dropout_rate,
-            positional_dropout_rate=self.transformer_dec_positional_dropout_rate,
-            attention_dropout_rate=self.transformer_dec_attn_dropout_rate,
-            normalize_before=self.decoder_normalize_before,
-            concat_after=self.decoder_concat_after,
-            positionwise_layer_type=self.positionwise_layer_type,
-            positionwise_conv_kernel_size=self.positionwise_conv_kernel_size,
-            macaron_style=self.use_macaron_style_in_conformer,
-            pos_enc_layer_type=pos_enc,
-            selfattention_layer_type=self_attn,
-            use_cnn_module=self.use_cnn_in_conformer,
-            cnn_module_kernel=self.conformer_dec_kernel_size,
-            conv_norm_type=self.conformer_conv_norm_type,
-            attention_backend=self.attention_backend,
-            dtype=self._dtype,
-            remat=self.remat_layers,
-            sp_mesh=self.sp_mesh,
-            sp_axis=self.sp_axis,
-        )
-        self.feat_out = nn.Dense(self.odim * self.decoder_reduction_factor)
-        if self.postnet_layers > 0:
+        if self.decoder_type == "diffsinger":
+            # eps-prediction Gaussian diffusion over reduced-rate features;
+            # the reference builds GaussianDiffusion(denoise_fn=DiffNet(...))
+            # here (aas_vc.py:209-218) from classes absent in its snapshot
+            self.decoder = GaussianDiffusion(
+                in_dim=self.adim * self.post_encoder_reduction_factor,
+                out_dim=self.odim * self.decoder_reduction_factor,
+                residual_channels=self.diffsinger_denoiser_residual_channels,
+                timesteps=self.diffsinger_diffusion_steps,
+            )
+        elif self.decoder_type == "prodiff":
+            # x0-prediction denoiser (reference aas_vc.py:220-230 surface)
+            self.decoder = SpectogramDenoiser(
+                idim=self.odim * self.decoder_reduction_factor,
+                adim=self.adim * self.post_encoder_reduction_factor,
+                layers=self.prodiff_denoiser_layers,
+                channels=self.prodiff_denoiser_channels,
+                timesteps=self.prodiff_diffusion_steps,
+                timescale=self.prodiff_diffusion_timescale,
+                max_beta=self.prodiff_diffusion_beta,
+                scheduler=self.prodiff_diffusion_scheduler,
+                cycle_length=self.prodiff_diffusion_cycle_ln,
+            )
+        else:
+            self.decoder = ConformerEncoder(
+                idim=0,
+                attention_dim=self.adim * self.post_encoder_reduction_factor,
+                attention_heads=self.aheads,
+                linear_units=self.dunits,
+                num_blocks=self.dlayers,
+                input_layer=None,
+                dropout_rate=self.transformer_dec_dropout_rate,
+                positional_dropout_rate=self.transformer_dec_positional_dropout_rate,
+                attention_dropout_rate=self.transformer_dec_attn_dropout_rate,
+                normalize_before=self.decoder_normalize_before,
+                concat_after=self.decoder_concat_after,
+                positionwise_layer_type=self.positionwise_layer_type,
+                positionwise_conv_kernel_size=self.positionwise_conv_kernel_size,
+                macaron_style=self.use_macaron_style_in_conformer,
+                pos_enc_layer_type=pos_enc,
+                selfattention_layer_type=self_attn,
+                use_cnn_module=self.use_cnn_in_conformer,
+                cnn_module_kernel=self.conformer_dec_kernel_size,
+                conv_norm_type=self.conformer_conv_norm_type,
+                attention_backend=self.attention_backend,
+                dtype=self._dtype,
+                remat=self.remat_layers,
+                sp_mesh=self.sp_mesh,
+                sp_axis=self.sp_axis,
+            )
+        if self.decoder_type == "conformer":
+            self.feat_out = nn.Dense(self.odim * self.decoder_reduction_factor)
+        # "only diffsinger does not have postnet" (reference aas_vc.py:264)
+        if self.postnet_layers > 0 and self.decoder_type != "diffsinger":
             self.postnet = Postnet(
                 odim=self.odim,
                 n_layers=self.postnet_layers,
@@ -320,15 +362,32 @@ class AASVC(nn.Module):
         )
 
         d_masks = make_non_pad_mask(olens_red, hs_up.shape[1])
-        zs, _ = self.decoder(hs_up, d_masks, deterministic=deterministic)
-        B = zs.shape[0]
-        before_outs = self.feat_out(zs).reshape(B, -1, self.odim)
-        if self.postnet is None:
-            after_outs = before_outs
-        else:
-            after_outs = before_outs + self.postnet(
-                before_outs, deterministic=deterministic
+        B = hs_up.shape[0]
+        if self.decoder_type == "diffsinger":
+            # ret carries (noise, x_recon) for DiffSingerL2Loss; no mel
+            # outputs at train time (reference aas_vc.py:435-442)
+            noise, x_recon = self.decoder(
+                hs_up, ys_red, d_masks, deterministic=deterministic
             )
+            ret["noise"] = noise
+            ret["x_recon"] = x_recon
+            before_outs = after_outs = None
+        else:
+            if self.decoder_type == "prodiff":  # no feat_out
+                x0_hat = self.decoder(
+                    hs_up, ys_red, d_masks, is_inference=False,
+                    deterministic=deterministic,
+                )
+                before_outs = x0_hat.reshape(B, -1, self.odim)
+            else:
+                zs, _ = self.decoder(hs_up, d_masks, deterministic=deterministic)
+                before_outs = self.feat_out(zs).reshape(B, -1, self.odim)
+            if self.postnet is None:
+                after_outs = before_outs
+            else:
+                after_outs = before_outs + self.postnet(
+                    before_outs, deterministic=deterministic
+                )
 
         olens_adj = olens - olens % self.decoder_reduction_factor
         ret.update(
@@ -399,13 +458,28 @@ class AASVC(nn.Module):
         h_masks = make_non_pad_mask(out_lens_red, max_output_frames)
 
         hs_up = gaussian_upsampling(hs, d_outs, h_masks, h_nonpad)
-        zs, _ = self.decoder(hs_up, h_masks, deterministic=True)
-        B = zs.shape[0]
-        before_outs = self.feat_out(zs).reshape(B, -1, self.odim)
-        if self.postnet is None:
-            after_outs = before_outs
+        B = hs_up.shape[0]
+        if self.decoder_type == "diffsinger":
+            x = self.decoder.inference(hs_up, h_masks)
+            after_outs = x.reshape(B, -1, self.odim)
+        elif self.decoder_type == "prodiff":
+            x = self.decoder(hs_up, None, h_masks, is_inference=True)
+            before_outs = x.reshape(B, -1, self.odim)
+            if self.postnet is None:
+                after_outs = before_outs
+            else:
+                after_outs = before_outs + self.postnet(
+                    before_outs, deterministic=True
+                )
         else:
-            after_outs = before_outs + self.postnet(before_outs, deterministic=True)
+            zs, _ = self.decoder(hs_up, h_masks, deterministic=True)
+            before_outs = self.feat_out(zs).reshape(B, -1, self.odim)
+            if self.postnet is None:
+                after_outs = before_outs
+            else:
+                after_outs = before_outs + self.postnet(
+                    before_outs, deterministic=True
+                )
 
         return {
             "outs": after_outs,

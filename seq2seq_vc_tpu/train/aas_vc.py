@@ -75,6 +75,16 @@ class AASVCTrainer(Trainer):
             loss = loss + l1
             metrics["l1_loss"] = l1
 
+        if "DiffSingerL2Loss" in self.criterion:
+            # diffusion decoder: masked L2 between injected and predicted
+            # noise on the reduced frame grid (reference trainers/
+            # aas_vc.py:89-98)
+            l2 = self.criterion["DiffSingerL2Loss"](
+                out["noise"], out["x_recon"], out["olens_reduced"]
+            )
+            loss = loss + l2
+            metrics["diffsinger_l2_loss"] = l2
+
         from ..ops.forward_sum import forward_sum_loss
 
         fsum = forward_sum_loss(
