@@ -141,7 +141,7 @@ def main():
         # fetching the previous finished flags (models/ar_driver.py).
         from ..models.ar_driver import ChunkedARDecoder
 
-        run = ChunkedARDecoder(
+        drv = ChunkedARDecoder(
             model, model_class,
             threshold=inf_cfg.get("threshold", 0.5),
             minlenratio=inf_cfg.get("minlenratio", 0.0),
@@ -149,6 +149,18 @@ def main():
             base_chunk=int(inf_cfg.get("decode_chunk_steps", 32)),
             max_chunk=int(inf_cfg.get("decode_max_chunk_steps", 256)),
         )
+        # expected-length first dispatch (VC output length tracks input
+        # length): decode_est_len_ratio 1.2 sizes the opening chunk to
+        # ~1.2x the source frame count, usually finishing in 1-2 round
+        # trips; 0 disables (pure geometric schedule)
+        est_ratio = float(inf_cfg.get("decode_est_len_ratio", 1.2))
+        r_dec = int(config["model_params"].get("decoder_reduction_factor", 1))
+
+        def run(p, xs, ilens, key):
+            est = 0
+            if est_ratio > 0:
+                est = int(np.ceil(est_ratio * float(np.max(np.asarray(ilens))) / r_dec))
+            return drv(p, xs, ilens, key, est_steps=est)
     else:
         from functools import partial
 

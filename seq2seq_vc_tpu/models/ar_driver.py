@@ -32,14 +32,29 @@ import jax
 import numpy as np
 
 
-def chunk_schedule(maxlen: int, base: int, max_chunk: int):
+def chunk_schedule(maxlen: int, base: int, max_chunk: int, first: int = 0):
     """Chunk sizes covering ``maxlen`` steps: doubling from ``base``, capped
     at ``max_chunk``, shrunk to the largest power-of-two multiple of ``base``
-    that fits the remainder. ``maxlen`` must be a multiple of ``base``."""
+    that fits the remainder. ``maxlen`` must be a multiple of ``base``.
+
+    ``first`` > 0 requests an expected-length first chunk: the opening
+    dispatch is the smallest power-of-two multiple of ``base`` >= ``first``
+    (clamped to the budget), so a decode whose stop point the caller can
+    estimate (VC: output length tracks input length) usually completes in
+    one or two round trips; the tail continues doubling from ``base``."""
     assert maxlen % base == 0 and maxlen > 0, (maxlen, base)
     sizes = []
     cur = base
     t0 = 0
+    if first > 0:
+        f = base
+        while f < first and f < maxlen:
+            f *= 2
+        # round down to what fits the budget
+        while f > maxlen:
+            f //= 2
+        sizes.append(f)
+        t0 = f
     while t0 < maxlen:
         s = min(cur, max_chunk, maxlen - t0)
         # round down to a power-of-two multiple of base so the jit cache
@@ -122,12 +137,15 @@ class ChunkedARDecoder:
             self._post_fns[sizes_key] = fn
         return fn
 
-    def __call__(self, params, xs, ilens, key) -> Dict[str, Any]:
+    def __call__(self, params, xs, ilens, key, est_steps: int = 0) -> Dict[str, Any]:
+        """``est_steps`` > 0: expected decode step count (host heuristic,
+        e.g. ``ceil(ratio * max(ilens) / r)`` for VC where output length
+        tracks input length) — sizes the first dispatch to cover it."""
         import jax.numpy as jnp
 
         st = self._init_fn(params, xs, ilens, key)
         maxlen = int(st["cache"]["k"].shape[3])
-        sizes = chunk_schedule(maxlen, self.base, self.max_chunk)
+        sizes = chunk_schedule(maxlen, self.base, self.max_chunk, est_steps)
 
         outs_c, probs_c, att_c = [], [], []
         prev_finished = None  # flags BEFORE the most recently dispatched chunk

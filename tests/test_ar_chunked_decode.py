@@ -91,6 +91,13 @@ def test_chunk_schedule_covers_budget_from_fixed_size_set():
         assert len(sizes) <= 4 + maxlen // cap, (maxlen, sizes)
     # degenerate base
     assert chunk_schedule(8, 8, 8) == [8]
+    # expected-length first dispatch: opening chunk covers the estimate,
+    # tail restarts the geometric ramp
+    s = chunk_schedule(1504, 32, 256, first=200)
+    assert s[0] == 256 and sum(s) == 1504 and set(s) <= allowed
+    s = chunk_schedule(96, 32, 256, first=500)  # estimate beyond budget
+    assert sum(s) == 96 and set(s) <= {32, 64}
+    assert chunk_schedule(256, 32, 256, first=1)[0] == 32
 
 
 def _driver_decode(model, params, xs, ilens, key, thr, minr, maxr,
@@ -135,6 +142,28 @@ def test_driver_matches_inference_with_early_stop():
                 )
         # the jit cache stays within the fixed size set
         assert drv.n_compiles <= 3
+
+
+def test_driver_est_steps_matches_inference():
+    model, params, xs, ilens = _model_and_params()
+    key = jax.random.PRNGKey(7)
+    thr, minr, maxr = 0.3, 0.0, 6.0
+    ref = model.apply(params, xs, ilens, key, thr, minr, maxr,
+                      method=VTN.inference)
+    from seq2seq_vc_tpu.models.ar_driver import ChunkedARDecoder
+
+    drv = ChunkedARDecoder(
+        model, VTN, threshold=thr, minlenratio=minr, maxlenratio=maxr,
+        base_chunk=8, max_chunk=32,
+    )
+    out = drv(params, xs, ilens, key, est_steps=40)
+    np.testing.assert_array_equal(
+        np.asarray(out["out_lens"]), np.asarray(ref["out_lens"])
+    )
+    L = np.asarray(out["probs"]).shape[1]
+    np.testing.assert_allclose(
+        np.asarray(out["probs"]), np.asarray(ref["probs"])[:, :L], atol=1e-6
+    )
 
 
 def test_driver_runs_to_budget_when_never_stopping():
