@@ -88,6 +88,7 @@ class AASVC(nn.Module):
     # exposes no step count for diffsinger)
     diffsinger_denoiser_residual_channels: int = 256
     diffsinger_diffusion_steps: int = 100
+    diffsinger_inference_steps: Optional[int] = None  # DDIM few-step decode
     prodiff_denoiser_layers: int = 20
     prodiff_denoiser_channels: int = 256
     prodiff_diffusion_steps: int = 1000
@@ -217,6 +218,7 @@ class AASVC(nn.Module):
                 out_dim=self.odim * self.decoder_reduction_factor,
                 residual_channels=self.diffsinger_denoiser_residual_channels,
                 timesteps=self.diffsinger_diffusion_steps,
+                inference_steps=self.diffsinger_inference_steps,
             )
         elif self.decoder_type == "prodiff":
             # x0-prediction denoiser (reference aas_vc.py:220-230 surface)

@@ -137,6 +137,11 @@ class GaussianDiffusion(nn.Module):
     timesteps: int = 100
     beta_schedule: str = "linear"
     max_beta: float = 0.06
+    # few-step inference: None/0 = full ancestral DDPM over ``timesteps``;
+    # k < timesteps = deterministic DDIM (eta 0) over k evenly spaced steps
+    # (k sequential denoiser calls instead of ``timesteps`` — the
+    # production decode on latency-bound hardware)
+    inference_steps: Optional[int] = None
 
     def setup(self):
         self.denoise_fn = DiffNet(
@@ -170,7 +175,11 @@ class GaussianDiffusion(nn.Module):
         return eps, eps_hat
 
     def inference(self, cond, masks=None):
-        """Ancestral DDPM sampling conditioned on ``cond`` -> (B, T, out_dim)."""
+        """Sampling conditioned on ``cond`` -> (B, T, out_dim). Ancestral
+        DDPM by default; DDIM subsequence when ``inference_steps`` is set."""
+        k = self.inference_steps
+        if k and 0 < k < self.timesteps:
+            return self._ddim_inference(cond, masks, k)
         betas, alphas_bar = self._schedule()
         alphas = 1.0 - betas
         alphas_bar_prev = jnp.concatenate([jnp.ones((1,)), alphas_bar[:-1]])
@@ -196,6 +205,35 @@ class GaussianDiffusion(nn.Module):
         (x, _), _ = jax.lax.scan(
             body, (x_init, rng), jnp.arange(self.timesteps - 1, -1, -1)
         )
+        if masks is not None:
+            x = jnp.where(masks[..., None], x, 0.0)
+        return x
+
+    def _ddim_inference(self, cond, masks, k: int):
+        """Deterministic DDIM (eta 0) over ``k`` evenly spaced timesteps:
+        x_{t'} = sqrt(ab_{t'}) x0_hat + sqrt(1 - ab_{t'}) eps_hat with
+        x0_hat = (x - sqrt(1 - ab_t) eps_hat) / sqrt(ab_t)."""
+        _, alphas_bar = self._schedule()
+        # k steps from high noise to 0, e.g. T=100, k=4 -> [99, 74, 49, 24]
+        ts = jnp.linspace(self.timesteps - 1, 0, k + 1).round().astype(jnp.int32)
+        pairs = jnp.stack([ts[:-1], ts[1:]], axis=1)  # (k, 2): t -> t_prev
+        B, T = cond.shape[0], cond.shape[1]
+        x = jax.random.normal(
+            self.make_rng("noise"), (B, T, self.out_dim), jnp.float32
+        )
+
+        def body(x, pair):
+            t, t_prev = pair[0], pair[1]
+            tb = jnp.full((B,), t, jnp.int32)
+            eps_hat = self.denoise_fn(x, tb, cond)
+            ab_t = alphas_bar[t]
+            # the final transition targets the clean sample (ab := 1)
+            ab_p = jnp.where(t_prev > 0, alphas_bar[t_prev], 1.0)
+            x0_hat = (x - jnp.sqrt(1.0 - ab_t) * eps_hat) / jnp.sqrt(ab_t)
+            x = jnp.sqrt(ab_p) * x0_hat + jnp.sqrt(1.0 - ab_p) * eps_hat
+            return x, None
+
+        x, _ = jax.lax.scan(body, x, pairs)
         if masks is not None:
             x = jnp.where(masks[..., None], x, 0.0)
         return x

@@ -77,6 +77,30 @@ def test_gaussian_diffusion_train_and_sample():
     np.testing.assert_array_equal(np.asarray(out)[1, 7:], 0.0)
 
 
+def test_gaussian_diffusion_ddim_few_step_inference():
+    gd = GaussianDiffusion(
+        in_dim=16, out_dim=12, residual_channels=8, denoiser_layers=4,
+        timesteps=16, inference_steps=4,
+    )
+    rng = np.random.default_rng(7)
+    cond = jnp.asarray(rng.standard_normal((2, 10, 16)), jnp.float32)
+    x0 = jnp.asarray(rng.standard_normal((2, 10, 12)), jnp.float32)
+    masks = jnp.ones((2, 10), bool)
+    keys = {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}
+    params = gd.init(keys, cond, x0, masks)
+    fn = jax.jit(
+        lambda p, c, k: gd.apply(
+            p, c, masks, method=GaussianDiffusion.inference,
+            rngs={"noise": k},
+        )
+    )
+    out = fn(params, cond, jax.random.PRNGKey(3))
+    assert out.shape == (2, 10, 12) and np.isfinite(np.asarray(out)).all()
+    # DDIM (eta 0) is deterministic given the same init-noise rng
+    out2 = fn(params, cond, jax.random.PRNGKey(3))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+
 def test_spectogram_denoiser_train_and_sample():
     sd = SpectogramDenoiser(
         idim=12, adim=16, layers=4, channels=8, timesteps=4, timescale=1,
