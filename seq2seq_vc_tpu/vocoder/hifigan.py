@@ -230,6 +230,7 @@ def chunked_generate(
     mel: jnp.ndarray,
     chunk_frames: int = 160,
     halo_frames: int = 8,
+    apply_fn=None,
 ) -> jnp.ndarray:
     """Overlap-halo chunked synthesis: (T, D) mel -> (T * hop,) waveform.
 
@@ -252,7 +253,7 @@ def chunked_generate(
     window = chunk_frames + 2 * halo_frames
     idx = starts[:, None] + jnp.arange(window)[None, :]
     chunks = mel_p[idx]  # (n_chunks, window, D)
-    wavs = vocoder.apply(params, chunks)  # (n_chunks, window * hop)
+    wavs = (apply_fn or vocoder.apply)(params, chunks)  # (n_chunks, window * hop)
     core = wavs[:, halo_frames * hop : (halo_frames + chunk_frames) * hop]
     return core.reshape(-1)[: t * hop]
 
@@ -288,13 +289,23 @@ def load_hifigan_model(checkpoint: str, config_path: Optional[str] = None):
 
 def load_hifigan_backend(checkpoint: str, config_path: Optional[str] = None):
     """Build a (T, in_channels) -> (N,) waveform callable from a saved
-    flax HiFi-GAN checkpoint (see ``core/checkpoint.py`` format)."""
+    flax HiFi-GAN checkpoint (see ``core/checkpoint.py`` format).
+
+    Synthesis goes through ``chunked_generate``: decode trims each
+    utterance to its exact frame count, so a full-length jit would
+    recompile for EVERY distinct utterance length (minutes each over a
+    remote-compile tunnel). Chunking bounds the compiled-shape set to the
+    distinct chunk counts (a handful per corpus), batches the chunks for
+    MXU utilization, and matches unchunked synthesis on the interior up to
+    float tolerance (halo > receptive field)."""
     model, params = load_hifigan_model(checkpoint, config_path)
 
-    fn = jax.jit(lambda p, feats: model.apply(p, feats))
+    fn = jax.jit(lambda p, chunks: model.apply(p, chunks))
 
     def backend(feats: np.ndarray) -> np.ndarray:
-        y = fn(params, jnp.asarray(feats, jnp.float32)[None])
-        return np.asarray(y[0])
+        y = chunked_generate(
+            model, params, jnp.asarray(feats, jnp.float32), apply_fn=fn
+        )
+        return np.asarray(y)
 
     return backend

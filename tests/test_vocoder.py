@@ -101,6 +101,67 @@ def _build_torch_reference_generator(in_channels, channels, up_ks, up_fs, res_ks
     return Gen()
 
 
+def test_chunked_generate_matches_unchunked_and_backend(tmp_path):
+    """Interior samples of the overlap-halo chunked synthesis match the
+    full-length forward; the file-loaded backend rides the chunked path
+    (bounded compile-shape set — decode trims to exact per-utterance
+    lengths, so a full-length jit would recompile per utterance)."""
+    import flax.serialization
+    import jax.numpy as jnp
+    import yaml
+
+    from seq2seq_vc_tpu.vocoder.hifigan import (
+        chunked_generate,
+        load_hifigan_backend,
+    )
+
+    gen_cfg = dict(
+        in_channels=8, upsample_channels=16,
+        upsample_kernel_sizes=(4, 4), upsample_factors=(2, 2),
+        resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3),),
+    )
+    voc = HifiganGenerator(**gen_cfg)
+    rng = np.random.default_rng(0)
+    T = 50  # not a multiple of chunk_frames
+    mel = jnp.asarray(rng.standard_normal((T, 8)), jnp.float32)
+    params = voc.init(jax.random.PRNGKey(0), mel[None])
+
+    full = np.asarray(voc.apply(params, mel[None]))[0]
+    hop = 4
+    chunked = np.asarray(
+        chunked_generate(voc, params, mel, chunk_frames=16, halo_frames=8)
+    )
+    assert chunked.shape == full.shape == (T * hop,)
+    # interior matches once the halo covers the receptive field; edges see
+    # edge-padding instead of zero-padding, so compare away from the ends
+    m = 8 * hop
+    np.testing.assert_allclose(chunked[m:-m], full[m:-m], atol=1e-4)
+
+    # backend loaded from a checkpoint file returns the same waveform
+    ckpt = tmp_path / "voc.ckpt"
+    with open(ckpt, "wb") as f:
+        f.write(
+            flax.serialization.msgpack_serialize(
+                jax.tree_util.tree_map(np.asarray, params)
+            )
+        )
+    cfg = tmp_path / "voc.yml"
+    with open(cfg, "w") as f:
+        yaml.safe_dump(
+            {"generator_params": {
+                k: (list(v) if isinstance(v, tuple) else v)
+                for k, v in gen_cfg.items()
+            }},
+            f,
+        )
+    backend = load_hifigan_backend(str(ckpt), str(cfg))
+    y = backend(np.asarray(mel))
+    ref = np.asarray(
+        chunked_generate(voc, params, mel)
+    )
+    np.testing.assert_allclose(y, ref, atol=1e-5)
+
+
 def test_torch_checkpoint_conversion_parity():
     import torch
 
