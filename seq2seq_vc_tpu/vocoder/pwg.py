@@ -217,9 +217,20 @@ def load_pwg_backend(checkpoint: str, config_path: Optional[str] = None, seed: i
     params = torch_pwg_to_flax({k: v.numpy() for k, v in sd.items()}, template)
 
     fn = jax.jit(lambda p, feats, key: model.apply(p, feats, rng=key))
+    hop = int(np.prod(model.upsample_scales))
 
     def backend(feats: np.ndarray) -> np.ndarray:
-        y = fn(params, jnp.asarray(feats, jnp.float32)[None], jax.random.PRNGKey(seed))
-        return np.asarray(y[0])
+        # bucket-pad the frame axis: decode trims features to exact
+        # per-utterance lengths, and a per-length jit would recompile the
+        # vocoder for every utterance (minutes each over a remote-compile
+        # tunnel). Edge-padding only perturbs the last receptive field's
+        # worth of samples of the trimmed tail's context.
+        t = feats.shape[0]
+        tb = ((t + 63) // 64) * 64
+        fp = np.pad(
+            np.asarray(feats, np.float32), ((0, tb - t), (0, 0)), mode="edge"
+        )
+        y = fn(params, jnp.asarray(fp)[None], jax.random.PRNGKey(seed))
+        return np.asarray(y[0])[: t * hop]
 
     return backend

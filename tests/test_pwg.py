@@ -21,6 +21,34 @@ def test_pwg_generator_shapes():
     assert np.isfinite(np.asarray(y)).all()
 
 
+def test_pwg_bucket_padding_interior_parity():
+    """The decode backend edge-pads the frame axis to a 64-frame bucket
+    (bounded compile-shape set) and trims the waveform; with the same
+    noise key the prefix of the padded synthesis matches the unpadded one
+    away from the padded tail's receptive field (counter-based PRNG draws
+    are prefix-stable)."""
+    gen = ParallelWaveGANGenerator(
+        layers=6, stacks=2, residual_channels=16, gate_channels=32,
+        skip_channels=16, aux_channels=20, upsample_scales=(4, 4),
+        dtype=jnp.float32,
+    )
+    rng = np.random.default_rng(1)
+    t, hop = 20, 16
+    c = jnp.asarray(rng.standard_normal((1, t, 20)), jnp.float32)
+    params = gen.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}, c
+    )
+    key = jax.random.PRNGKey(5)
+    y_full = np.asarray(gen.apply(params, c, rng=key))[0]
+    c_pad = jnp.asarray(
+        np.pad(np.asarray(c), ((0, 0), (0, 12), (0, 0)), mode="edge")
+    )
+    y_pad = np.asarray(gen.apply(params, c_pad, rng=key))[0]
+    assert y_pad.shape[0] == 32 * hop
+    n = (t - 8) * hop  # stay clear of the padded tail's receptive field
+    np.testing.assert_allclose(y_pad[:n], y_full[:n], atol=1e-4)
+
+
 def _torch_pwg(layers, stacks, res_ch, gate_ch, skip_ch, aux_ch, scales, ctx=2):
     import torch
     import torch.nn as nn
