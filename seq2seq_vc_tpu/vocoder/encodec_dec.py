@@ -49,15 +49,24 @@ class EnCodec_decoder:
         return 24000
 
     def decode(self, latents: np.ndarray) -> np.ndarray:
-        """latents: (T, 128) normalized converted features -> (T*320,) wav."""
+        """latents: (T, 128) normalized converted features -> (T*320,) wav.
+
+        The latent axis is zero-padded to a 64-frame bucket before the
+        jitted forward: decode hands over exact per-utterance lengths, and
+        a per-length jit would recompile the decoder for every utterance
+        (minutes each over a remote-compile tunnel). The SEANet stack is
+        CAUSAL (causal convs + forward LSTM), so the trimmed prefix matches
+        an unpadded forward to float tolerance (shape-dependent XLA fusion
+        reassociation only)."""
         start = time.time()
         if self.trg_stats is not None:
             latents = denormalize(
                 latents, self.trg_stats["mean"], self.trg_stats["scale"]
             )
-        wav = np.asarray(
-            self._apply(self.params, np.asarray(latents, np.float32)[None])[0]
-        )
+        t = latents.shape[0]
+        tb = ((t + 63) // 64) * 64
+        lp = np.pad(np.asarray(latents, np.float32), ((0, tb - t), (0, 0)))
+        wav = np.asarray(self._apply(self.params, lp[None])[0])[: t * 320]
         rtf = (time.time() - start) / (len(wav) / self.fs)
         logging.info("encodec decode RTF = %.06f", rtf)
         return wav

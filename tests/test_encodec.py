@@ -68,6 +68,22 @@ def test_decoder_parity(torch_encodec):
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
 
 
+def test_decoder_causal_tail_padding_is_exact(torch_encodec):
+    """The decode path zero-pads the latent axis to a compile bucket and
+    trims the waveform; the SEANet stack is causal (causal convs + forward
+    LSTM), so the trimmed prefix matches to float tolerance (shape-
+    dependent XLA fusion reassociates adds at ~1e-7)."""
+    rng = np.random.default_rng(3)
+    t = 9
+    emb = rng.standard_normal((1, t, 128)).astype(np.float32) * 0.1
+    model = EncodecDecoder()
+    params = convert_torch_encodec_decoder(torch_encodec.state_dict())
+    full = np.asarray(model.apply(params, emb)[0])
+    emb_pad = np.pad(emb, ((0, 0), (0, 16 - t), (0, 0)))
+    padded = np.asarray(model.apply(params, emb_pad)[0])[: t * 320]
+    np.testing.assert_allclose(padded, full, atol=1e-6)
+
+
 def test_encode_decode_roundtrip_shapes(torch_encodec):
     enc = EncodecEncoder()
     dec = EncodecDecoder()
