@@ -344,6 +344,12 @@ def build_downstream(checkpoint: str, config: Dict[str, Any],
         **{k: v for k, v in params.items() if k in Taco2AR.__dataclass_fields__},
     )
     variables = convert_torch_taco2ar(sd, model)
+    # NOTE: deliberately jitted at the exact latent length (one compile per
+    # distinct utterance length). Unlike the conv vocoder backends, this
+    # downstream contains a BiLSTM — the backward pass reads the sequence
+    # tail, so bucket-padding would perturb EVERY output frame, not just a
+    # receptive-field margin. Parity with the s3prl-vc reference wins here;
+    # the persistent compilation cache amortizes repeat lengths across runs.
     apply_fn = jax.jit(
         lambda latents, key: model.apply(
             variables, latents[None], rng=key, deterministic=True
