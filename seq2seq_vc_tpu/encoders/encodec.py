@@ -35,6 +35,7 @@ SAMPLE_RATE = 24000
 EMBED_DIM = 128
 NUM_FILTERS = 32
 RATIOS = (8, 5, 4, 2)  # hop = prod = 320 -> 75 Hz
+HOP = 320  # samples per latent frame (T_latents = ceil(n / HOP))
 KERNEL = 7
 LAST_KERNEL = 7
 RESID_KERNEL = 3
@@ -316,6 +317,17 @@ def load_encodec(checkpoint: str) -> Tuple[EncodecEncoder, Dict[str, Any]]:
 
 
 def encode(model: EncodecEncoder, params, wav: np.ndarray) -> np.ndarray:
-    """wav (n,) float 24 kHz mono -> (T, 128) float32 embeddings."""
-    out = jax.jit(model.apply)(params, jnp.asarray(wav, jnp.float32)[None])
-    return np.asarray(out[0], np.float32)
+    """wav (n,) float 24 kHz mono -> (T, 128) float32 embeddings.
+
+    The sample axis is zero-padded to a 20480-sample (64-latent) bucket so
+    corpus extraction compiles a handful of shapes instead of one per
+    utterance length; the SEANet encoder is causal, so all full latent
+    frames are bit-identical to an unpadded forward. When ``n % 320 != 0``
+    the final PARTIAL frame sees bucket zeros instead of the exact-length
+    conv padding (~4e-4 deviation on a frame that encodes padding either
+    way)."""
+    t_lat = (len(wav) + HOP - 1) // HOP
+    nb = ((len(wav) + 64 * HOP - 1) // (64 * HOP)) * (64 * HOP)
+    wp = np.pad(np.asarray(wav, np.float32), (0, nb - len(wav)))
+    out = jax.jit(model.apply)(params, jnp.asarray(wp)[None])
+    return np.asarray(out[0], np.float32)[:t_lat]

@@ -84,6 +84,23 @@ def test_decoder_causal_tail_padding_is_exact(torch_encodec):
     np.testing.assert_allclose(padded, full, atol=1e-6)
 
 
+def test_encode_bucket_padding_matches_exact_length(torch_encodec):
+    """encoders.encodec.encode bucket-pads the sample axis; the causal
+    encoder's trimmed latent prefix matches an exact-length forward."""
+    from seq2seq_vc_tpu.encoders.encodec import encode
+
+    enc = EncodecEncoder()
+    p_enc = convert_torch_encodec(torch_encodec.state_dict())
+    wav = np.random.default_rng(5).standard_normal(3300).astype(np.float32) * 0.1
+    got = encode(enc, p_enc, wav)  # padded + trimmed path
+    ref = np.asarray(enc.apply(p_enc, wav[None]))[0]
+    assert got.shape == ref.shape == (11, 128)
+    # full frames are causal-exact; the final PARTIAL frame (3300 % 320
+    # != 0) encodes padding in both runs and may deviate slightly
+    np.testing.assert_allclose(got[:-1], ref[:-1], atol=1e-6)
+    np.testing.assert_allclose(got[-1], ref[-1], atol=1e-2)
+
+
 def test_encode_decode_roundtrip_shapes(torch_encodec):
     enc = EncodecEncoder()
     dec = EncodecDecoder()
