@@ -138,14 +138,20 @@ def main():
         hub_model, hub_params = load_hubert_soft(ckpt)
         layer = hcfg.get("layer")
         use_units = hcfg.get("feature", "layer") == "units"
+        # lengths-masked forward: bucket-padded batches produce the
+        # exact-length features on the valid prefix (masked instance-norm
+        # stats + key-masked attention; see HubertSoft.encode) — without
+        # the mask, padded keys perturb EVERY frame through the softmax
         if use_units:
             h_apply = jax.jit(
-                lambda p, w: hub_model.apply(p, w, method=type(hub_model).units)
+                lambda p, w, l: hub_model.apply(
+                    p, w, lengths=l, method=type(hub_model).units
+                )
             )
         else:
             h_apply = jax.jit(
-                lambda p, w: hub_model.apply(
-                    p, w, layer, method=type(hub_model).encode
+                lambda p, w, l: hub_model.apply(
+                    p, w, layer, lengths=l, method=type(hub_model).encode
                 )
             )
         hubert = (h_apply, hub_params, use_units)
@@ -249,11 +255,16 @@ def main():
             h_apply, hub_params, use_units = hubert
             wav16 = resample(audio, sr, 16000)
             # 20 ms hop, 25 ms window; units() pads 40 per side internally
+            from ..urhythmic.hubert import conv_stack_frames
+
             eff = len(wav16) + (80 if use_units else 0)
-            n_frames = max((eff - 400) // 320 + 1, 1)
+            n_frames = max(int(conv_stack_frames(eff)), 1)
             bucket = 320 * 16
             padded = np.pad(wav16, (0, -len(wav16) % bucket))
-            feat = np.asarray(h_apply(hub_params, padded[None])[0], np.float32)
+            lens = np.asarray([len(wav16)], np.int32)
+            feat = np.asarray(
+                h_apply(hub_params, padded[None], lens)[0], np.float32
+            )
             write_hdf5(out, "hubert", feat[:n_frames])
         if ppg is not None:
             wav16 = resample(audio, sr, 16000)

@@ -42,26 +42,62 @@ SAMPLING_RATE = 16000
 HOP = 320  # total feature-extractor stride
 
 
+def conv_stack_frames(n):
+    """Valid output frame count of the conv stack for ``n`` input samples
+    (VALID convs: every returned frame reads only the first ``n`` samples).
+    Works on ints or integer arrays."""
+    for k, s in zip(CONV_KERNEL, CONV_STRIDE):
+        n = (n - k) // s + 1
+    return n
+
+
+class _InstanceNorm(nn.Module):
+    """Per-(item, channel) norm over time == GroupNorm(group_size=1), with
+    optional masked statistics over the first ``n_valid`` frames (so a
+    tail-padded batch reproduces the exact-length statistics). Param names
+    match flax GroupNorm for checkpoint compatibility."""
+
+    @nn.compact
+    def __call__(self, h, n_valid=None):
+        C = h.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,))
+        bias = self.param("bias", nn.initializers.zeros, (C,))
+        if n_valid is None:
+            mean = h.mean(axis=1, keepdims=True)
+            var = h.var(axis=1, keepdims=True)
+        else:
+            mask = (
+                jnp.arange(h.shape[1])[None, :] < n_valid[:, None]
+            )[..., None].astype(h.dtype)
+            cnt = jnp.maximum(n_valid, 1).astype(h.dtype)[:, None, None]
+            mean = (h * mask).sum(axis=1, keepdims=True) / cnt
+            var = (jnp.square(h - mean) * mask).sum(axis=1, keepdims=True) / cnt
+        return (h - mean) * jax.lax.rsqrt(var + LN_EPS) * scale + bias
+
+
 class _FeatureEncoder(nn.Module):
     """7-layer strided conv stack over the raw waveform (group-norm first)."""
 
     @nn.compact
-    def __call__(self, x):  # x: (B, T)
+    def __call__(self, x, lengths=None):  # x: (B, T)
         h = x[:, :, None]  # (B, T, 1)
+        n_valid = lengths
         for i, (dim, k, s) in enumerate(zip(CONV_DIM, CONV_KERNEL, CONV_STRIDE)):
             h = nn.Conv(dim, (k,), strides=(s,), padding="VALID", use_bias=False,
                         name=f"conv{i}")(h)
+            if n_valid is not None:
+                n_valid = (n_valid - k) // s + 1
             if i == 0:
-                # GroupNorm(num_groups=channels) == per-channel instance norm
-                h = nn.GroupNorm(num_groups=None, group_size=1, epsilon=LN_EPS,
-                                 name="group_norm")(h)
+                # GroupNorm(num_groups=channels) == per-channel instance
+                # norm; masked stats keep tail-padded batches exact
+                h = _InstanceNorm(name="group_norm")(h, n_valid)
             h = nn.gelu(h, approximate=False)
         return h  # (B, N, 512)
 
 
 class _SelfAttention(nn.Module):
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, key_mask=None):
         d_k = HIDDEN // N_HEADS
         q = nn.Dense(HIDDEN, name="q_proj")(x)
         k = nn.Dense(HIDDEN, name="k_proj")(x)
@@ -72,10 +108,12 @@ class _SelfAttention(nn.Module):
             return t.reshape(B, T, N_HEADS, d_k).transpose(0, 2, 1, 3)
 
         q, k, v = split(q) / np.sqrt(d_k), split(k), split(v)
-        w = jax.nn.softmax(
-            jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32),
-            axis=-1,
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
         )
+        if key_mask is not None:  # (B, T) True = valid
+            logits = jnp.where(key_mask[:, None, None, :], logits, -1e9)
+        w = jax.nn.softmax(logits, axis=-1)
         o = jnp.einsum("bhqk,bhkd->bhqd", w, v)
         B, H, T, D = o.shape
         o = o.transpose(0, 2, 1, 3).reshape(B, T, H * D)
@@ -86,8 +124,8 @@ class _EncoderLayer(nn.Module):
     """Post-LN transformer layer (do_stable_layer_norm=False)."""
 
     @nn.compact
-    def __call__(self, x):
-        x = x + _SelfAttention(name="attention")(x)
+    def __call__(self, x, key_mask=None):
+        x = x + _SelfAttention(name="attention")(x, key_mask)
         x = nn.LayerNorm(epsilon=LN_EPS, name="layer_norm")(x)
         h = nn.Dense(FFN, name="ffn_in")(x)
         h = nn.gelu(h, approximate=False)
@@ -113,15 +151,31 @@ class HubertSoft(nn.Module):
             "label_embedding", nn.initializers.normal(1.0), (N_CLUSTERS, SOFT_DIM)
         )
 
-    def encode(self, wav, output_layer: Optional[int] = None):
+    def encode(self, wav, output_layer: Optional[int] = None, lengths=None):
         """wav (B, T) in [-1, 1] -> hidden states (B, N, 768).
 
         ``output_layer=k`` taps the k-th transformer layer's output
         (1-based), the PPG-style feature used by s3prl-type upstreams
         (reference ``bin/preprocess.py:184-196`` takes a featurizer over
-        upstream hidden states; here a single layer tap)."""
-        h = self.feature_extractor(wav)
+        upstream hidden states; here a single layer tap).
+
+        ``lengths`` (B,) valid sample counts makes a TAIL-PADDED batch
+        produce exact-length outputs on the valid frame prefix
+        (``conv_stack_frames(lengths)`` frames): VALID convs are
+        length-safe, the instance norm uses masked stats, padded frames
+        are zeroed before the pos-conv (matching the exact run's conv
+        zero-padding), and attention masks padded keys. This bounds the
+        compiled-shape set for corpus extraction — without it every
+        distinct utterance length recompiles."""
+        h = self.feature_extractor(wav, lengths)
         h = self.fp_proj(self.fp_norm(h))
+        key_mask = None
+        if lengths is not None:
+            n_valid = conv_stack_frames(lengths)
+            key_mask = jnp.arange(h.shape[1])[None, :] < n_valid[:, None]
+            # zero padded frames: the exact-length run's SAME pos-conv sees
+            # zeros beyond the boundary, so this reproduces it exactly
+            h = jnp.where(key_mask[..., None], h, 0.0)
         pos = self.pos_conv(h)
         if POS_CONV_KERNEL % 2 == 0:
             # even kernel + symmetric pad yields one extra frame; HF's
@@ -130,17 +184,19 @@ class HubertSoft(nn.Module):
         h = h + nn.gelu(pos, approximate=False)
         h = self.enc_norm(h)
         for i, layer in enumerate(self.layers):
-            h = layer(h)
+            h = layer(h, key_mask)
             if output_layer is not None and i + 1 == output_layer:
                 return h
         return h
 
-    def units(self, wav):
+    def units(self, wav, lengths=None):
         """wav (B, T) -> soft units (B, N, 256). Pads by (400-320)//2 per
         side like bshall HubertSoft.units."""
         pad = (400 - HOP) // 2
         wav = jnp.pad(wav, ((0, 0), (pad, pad)))
-        return self.proj(self.encode(wav))
+        if lengths is not None:
+            lengths = lengths + 2 * pad
+        return self.proj(self.encode(wav, lengths=lengths))
 
     def logits(self, units):
         """Cosine similarity to the cluster embeddings / temperature."""
@@ -150,8 +206,8 @@ class HubertSoft(nn.Module):
         ).clip(1e-8)
         return jnp.einsum("bnd,kd->bnk", u, e) / LOGIT_TEMP
 
-    def __call__(self, wav):
-        units = self.units(wav)
+    def __call__(self, wav, lengths=None):
+        units = self.units(wav, lengths=lengths)
         return units, jax.nn.log_softmax(self.logits(units), axis=-1)
 
 
@@ -309,9 +365,31 @@ def load_hubert_soft(checkpoint_path: str) -> Tuple[HubertSoft, Dict[str, Any]]:
     return HubertSoft(), convert_torch_hubert(sd)
 
 
-def encode_batch(model: HubertSoft, params, wav: np.ndarray):
-    """wav (T,) or (B, T) -> (units (B, N, 256), log_probs (B, N, 100))."""
-    wav = jnp.asarray(wav, jnp.float32)
+def encode_batch(model: HubertSoft, params, wav: np.ndarray,
+                 bucket_samples: int = 16000):
+    """wav (T,) or (B, T) -> (units (B, N, 256), log_probs (B, N, 100),
+    n_frames (B,) valid unit counts).
+
+    The sample axis is zero-padded to a ``bucket_samples`` multiple and the
+    model runs with masked lengths, so corpus extraction compiles one
+    program per bucket instead of one per distinct utterance length (the
+    valid unit prefix matches an exact-length forward — see
+    ``HubertSoft.encode``)."""
+    wav = np.asarray(wav, np.float32)
     if wav.ndim == 1:
         wav = wav[None]
-    return jax.jit(model.apply)(params, wav)
+    lengths = np.full((wav.shape[0],), wav.shape[1], np.int32)
+    if bucket_samples and wav.shape[1] % bucket_samples:
+        tb = ((wav.shape[1] + bucket_samples - 1) // bucket_samples) * bucket_samples
+        wav = np.pad(wav, ((0, 0), (0, tb - wav.shape[1])))
+    pad = (400 - HOP) // 2
+    n_frames = conv_stack_frames(lengths + 2 * pad)
+    fn = _JIT_CACHE.get(id(model))
+    if fn is None:
+        fn = jax.jit(model.apply)
+        _JIT_CACHE[id(model)] = fn
+    units, log_probs = fn(params, jnp.asarray(wav), jnp.asarray(lengths))
+    return units, log_probs, jnp.asarray(n_frames)
+
+
+_JIT_CACHE: Dict[int, Any] = {}

@@ -39,8 +39,9 @@ def encode(hubert: Any, wav: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         from .hubert import encode_batch
 
         model, params = hubert
-        units, log_probs = encode_batch(model, params, np.asarray(wav))
-        return np.asarray(units[0]), np.asarray(log_probs[0])
+        units, log_probs, n_frames = encode_batch(model, params, np.asarray(wav))
+        n = int(n_frames[0])
+        return np.asarray(units[0, :n]), np.asarray(log_probs[0, :n])
     import torch
     import torch.nn.functional as F
 

@@ -41,6 +41,72 @@ def test_encoder_matches_transformers(hf_pair):
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
 
 
+def test_masked_bucket_padding_matches_exact_length(hf_pair):
+    """Tail-padded forward with ``lengths`` reproduces the exact-length
+    forward on the valid frame prefix (masked instance-norm stats, zeroed
+    padding before the pos-conv, key-masked attention). This is what lets
+    corpus extraction bucket-pad instead of recompiling per utterance
+    length — and what the UNMASKED padded forward gets wrong (padded keys
+    shift every frame's softmax)."""
+    tm, params = hf_pair
+    from seq2seq_vc_tpu.urhythmic.hubert import conv_stack_frames
+
+    rng = np.random.default_rng(4)
+    n = 4000
+    wav = (0.1 * rng.standard_normal((1, n))).astype(np.float32)
+    model = HubertSoft()
+    exact = np.asarray(
+        model.apply(params, wav, method=HubertSoft.encode)
+    )[0]
+    nf = int(conv_stack_frames(n))
+    assert exact.shape[0] == nf
+
+    padded = np.pad(wav, ((0, 0), (0, 6400 - n)))
+    masked = np.asarray(
+        model.apply(
+            params, padded, lengths=np.asarray([n], np.int32),
+            method=HubertSoft.encode,
+        )
+    )[0][:nf]
+    np.testing.assert_allclose(masked, exact, atol=2e-5, rtol=1e-4)
+
+    # the unmasked padded forward does NOT reproduce the exact features
+    unmasked = np.asarray(
+        model.apply(params, padded, method=HubertSoft.encode)
+    )[0][:nf]
+    assert np.abs(unmasked - exact).max() > 1e-3
+
+    # units path: same property through the (40, 40) internal padding
+    exact_u = np.asarray(
+        model.apply(params, wav, method=HubertSoft.units)
+    )[0]
+    masked_u = np.asarray(
+        model.apply(
+            params, padded, lengths=np.asarray([n], np.int32),
+            method=HubertSoft.units,
+        )
+    )[0][: exact_u.shape[0]]
+    np.testing.assert_allclose(masked_u, exact_u, atol=2e-5, rtol=1e-4)
+
+
+def test_encode_batch_buckets_and_trims(hf_pair):
+    from seq2seq_vc_tpu.urhythmic.hubert import encode_batch
+
+    _, params = hf_pair
+    model = HubertSoft()
+    rng = np.random.default_rng(5)
+    wav = (0.1 * rng.standard_normal(4000)).astype(np.float32)
+    units, log_probs, n_frames = encode_batch(
+        model, params, wav, bucket_samples=6400
+    )
+    exact_u = np.asarray(model.apply(params, wav[None], method=HubertSoft.units))[0]
+    n = int(n_frames[0])
+    assert n == exact_u.shape[0]
+    np.testing.assert_allclose(
+        np.asarray(units[0, :n]), exact_u, atol=2e-5, rtol=1e-4
+    )
+
+
 def test_units_and_logits_shapes(hf_pair):
     _, params = hf_pair
     # give the zero-init soft head real values
