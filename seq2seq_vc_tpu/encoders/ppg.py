@@ -283,6 +283,13 @@ def build_extractor(
     model, variables = load_ppg_upstream(upstream_ckpt, input_dim=input_dim)
     featurizer = load_featurizer(featurizer_ckpt)
 
+    # NOTE: deliberately jitted at the exact sample length (one compile per
+    # distinct utterance length, amortized by the persistent compilation
+    # cache). Unlike HuBERT (VALID-conv frontend -> mask-exact bucketing,
+    # urhythmic/hubert.py), this frontend reflect-pads to center fbank
+    # frames, so tail-padding the wav perturbs the last frames' features
+    # and, through the conv2d subsample, the feature tail — parity with
+    # the s3prl extraction wins over compile reuse here.
     @jax.jit
     def _run(wav):
         feats = log_mel_fbank(
