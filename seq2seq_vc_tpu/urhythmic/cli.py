@@ -44,10 +44,49 @@ def cmd_encode(args):
     hubert = _load_hubert(args.hubert_checkpoint)
     os.makedirs(os.path.join(args.out_dir, "soft"), exist_ok=True)
     os.makedirs(os.path.join(args.out_dir, "logprobs"), exist_ok=True)
+    items = []
     for path in sorted(find_files(args.in_dir, "*.wav")):
         utt = get_basename(path)
         wav, sr = read_wav(path)
         assert sr == 16000, "urhythmic operates at 16 kHz"
+        items.append((utt, wav))
+    if isinstance(hubert, tuple):
+        # native flax path: lengths-masked batched dispatches — same-bucket
+        # utterances ride one (B, T) forward (exact valid-prefix semantics,
+        # hubert.encode_batch), instead of one exact-length compile each
+        from .hubert import conv_stack_frames, encode_batch
+
+        model, params = hubert
+        bucket = 16000  # 1 s sample quantum
+        groups = {}
+        for utt, wav in items:
+            tb = ((len(wav) + bucket - 1) // bucket) * bucket
+            groups.setdefault(tb, []).append((utt, wav))
+        batch_size = int(getattr(args, "batch_size", 8) or 8)
+        for tb, members in sorted(groups.items()):
+            for i in range(0, len(members), batch_size):
+                chunk = members[i : i + batch_size]
+                wavs = np.zeros((len(chunk), tb), np.float32)
+                lens = np.zeros((len(chunk),), np.int32)
+                for bi, (_, w) in enumerate(chunk):
+                    wavs[bi, : len(w)] = w
+                    lens[bi] = len(w)
+                pad = (400 - 320) // 2
+                units, log_probs, _ = encode_batch(
+                    model, params, wavs, bucket_samples=bucket, lengths=lens
+                )
+                for bi, (utt, w) in enumerate(chunk):
+                    n = int(conv_stack_frames(len(w) + 2 * pad))
+                    np.save(
+                        os.path.join(args.out_dir, "soft", f"{utt}.npy"),
+                        np.asarray(units[bi, :n]),
+                    )
+                    np.save(
+                        os.path.join(args.out_dir, "logprobs", f"{utt}.npy"),
+                        np.asarray(log_probs[bi, :n]),
+                    )
+        return
+    for utt, wav in items:
         units, log_probs = encode(hubert, wav)
         np.save(os.path.join(args.out_dir, "soft", f"{utt}.npy"), units)
         np.save(os.path.join(args.out_dir, "logprobs", f"{utt}.npy"), log_probs)
@@ -170,6 +209,8 @@ def main():
     p.add_argument("--in-dir", required=True)
     p.add_argument("--out-dir", required=True)
     p.add_argument("--hubert-checkpoint", default="hub")
+    p.add_argument("--batch-size", type=int, default=8,
+                   help="same-bucket utterances encoded per device dispatch")
     p.set_defaults(fn=cmd_encode)
 
     p = sub.add_parser("segment")

@@ -366,7 +366,7 @@ def load_hubert_soft(checkpoint_path: str) -> Tuple[HubertSoft, Dict[str, Any]]:
 
 
 def encode_batch(model: HubertSoft, params, wav: np.ndarray,
-                 bucket_samples: int = 16000):
+                 bucket_samples: int = 16000, lengths=None):
     """wav (T,) or (B, T) -> (units (B, N, 256), log_probs (B, N, 100),
     n_frames (B,) valid unit counts).
 
@@ -374,11 +374,15 @@ def encode_batch(model: HubertSoft, params, wav: np.ndarray,
     model runs with masked lengths, so corpus extraction compiles one
     program per bucket instead of one per distinct utterance length (the
     valid unit prefix matches an exact-length forward — see
-    ``HubertSoft.encode``)."""
+    ``HubertSoft.encode``). Pass ``lengths`` (B,) when rows of ``wav`` are
+    already tail-padded to a common length."""
     wav = np.asarray(wav, np.float32)
     if wav.ndim == 1:
         wav = wav[None]
-    lengths = np.full((wav.shape[0],), wav.shape[1], np.int32)
+    if lengths is None:
+        lengths = np.full((wav.shape[0],), wav.shape[1], np.int32)
+    else:
+        lengths = np.asarray(lengths, np.int32)
     if bucket_samples and wav.shape[1] % bucket_samples:
         tb = ((wav.shape[1] + bucket_samples - 1) // bucket_samples) * bucket_samples
         wav = np.pad(wav, ((0, 0), (0, tb - wav.shape[1])))

@@ -107,6 +107,53 @@ def test_encode_batch_buckets_and_trims(hf_pair):
     )
 
 
+def test_urhythmic_encode_cli_batched(hf_pair, tmp_path, monkeypatch):
+    """urhythmic encode CLI: batched lengths-masked dispatches write the
+    same per-utterance artifacts as exact-length encoding."""
+    import sys
+
+    from seq2seq_vc_tpu.urhythmic.cli import main
+    from seq2seq_vc_tpu.utils.audio import write_wav
+
+    tm, params = hf_pair
+    ckpt = tmp_path / "hubert.pt"
+    torch.save(tm.state_dict(), ckpt)
+
+    rng = np.random.default_rng(6)
+    in_dir = tmp_path / "wavs"
+    in_dir.mkdir()
+    lens = [4000, 4480, 21000]  # two share a 1 s bucket; one is longer
+    for i, n in enumerate(lens):
+        write_wav(str(in_dir / f"u{i}.wav"),
+                  (0.1 * rng.standard_normal(n)).astype(np.float32), 16000)
+
+    out_dir = tmp_path / "enc"
+    monkeypatch.setattr(sys, "argv", [
+        "urhythmic", "encode", "--in-dir", str(in_dir),
+        "--out-dir", str(out_dir), "--hubert-checkpoint", str(ckpt),
+        "--batch-size", "2",
+    ])
+    main()
+
+    model = HubertSoft()
+    for i, n in enumerate(lens):
+        units = np.load(out_dir / "soft" / f"u{i}.npy")
+        lp = np.load(out_dir / "logprobs" / f"u{i}.npy")
+        import jax.numpy as jnp
+
+        from seq2seq_vc_tpu.utils.audio import read_wav
+
+        wav, _ = read_wav(str(in_dir / f"u{i}.wav"))
+        exact_u, exact_lp = model.apply(params, wav[None].astype(np.float32))
+        assert units.shape == np.asarray(exact_u[0]).shape, i
+        np.testing.assert_allclose(
+            units, np.asarray(exact_u[0]), atol=5e-4, rtol=1e-3
+        )
+        np.testing.assert_allclose(
+            lp, np.asarray(exact_lp[0]), atol=5e-3, rtol=1e-2
+        )
+
+
 def test_units_and_logits_shapes(hf_pair):
     _, params = hf_pair
     # give the zero-init soft head real values
