@@ -97,15 +97,49 @@ class ASRTranscriber:
         self.model = Wav2Vec2ForCTC.from_pretrained(model_path).to(device).eval()
         self.backend = "torch"
 
+    def _flax_logits(self, input_values):
+        """Bucket-padded, attention-masked, jitted forward.
+
+        - bucket padding (1 s quantum) bounds the compiled-shape set — an
+          exact-length jit would recompile per utterance;
+        - attention_mask keeps padded samples out of the transformer (the
+          reference lv60 model is attention-mask-trained), and the CTC
+          argmax is read only over the valid frame prefix;
+        - params ride as a jit ARGUMENT (closure-captured weights would be
+          re-embedded as constants in every compiled bucket).
+        """
+        import jax
+        import numpy as np
+
+        n = int(input_values.shape[-1])
+        bucket = 16000
+        nb = ((n + bucket - 1) // bucket) * bucket
+        iv = np.pad(
+            np.asarray(input_values, np.float32), ((0, 0), (0, nb - n))
+        )
+        am = np.zeros((1, nb), np.int32)
+        am[:, :n] = 1
+        if not hasattr(self, "_jit_fn") or self._jit_fn is None:
+            self._jit_fn = jax.jit(
+                lambda p, iv, am: self.model(
+                    iv, attention_mask=am, params=p
+                ).logits
+            )
+        logits = np.asarray(self._jit_fn(self.model.params, iv, am))
+        # valid output frames via the model's conv stack arithmetic
+        nf = n
+        for k, s in zip(self.model.config.conv_kernel, self.model.config.conv_stride):
+            nf = (nf - k) // s + 1
+        return logits[:, :nf]
+
     def transcribe(self, audio, sr: int = 16000) -> str:
         inputs = self.processor(
             audio, sampling_rate=sr, return_tensors="np", padding=True
         )
         if self.backend == "flax":
-            logits = self.model(inputs.input_values).logits
             import numpy as np
 
-            ids = np.asarray(logits).argmax(axis=-1)
+            ids = self._flax_logits(inputs.input_values).argmax(axis=-1)
         else:
             import torch
 

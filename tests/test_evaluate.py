@@ -334,3 +334,15 @@ def test_asr_transcriber_flax_backend(tmp_path):
     audio = np.sin(2 * np.pi * 220 * np.arange(3200) / 16000).astype(np.float32)
     text = tr.transcribe(audio)
     assert isinstance(text, str)  # random weights -> arbitrary transcript
+
+    # the bucket-padded masked forward matches the exact-length logits on
+    # the valid frame prefix (do_stable_layer_norm models mask correctly)
+    iv = tr.processor(audio, sampling_rate=16000,
+                      return_tensors="np").input_values
+    got = tr._flax_logits(iv)
+    exact = np.asarray(model(iv).logits)
+    assert got.shape == exact.shape
+    np.testing.assert_allclose(got, exact, atol=2e-4, rtol=1e-3)
+
+    # a second length rides a different bucket through the same jit
+    assert isinstance(tr.transcribe(audio[:2000]), str)
