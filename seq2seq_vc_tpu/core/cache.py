@@ -9,6 +9,11 @@ every CLI enables it by default.
 
 Env control: ``S2S_JAX_CACHE_DIR`` overrides the location; set it EMPTY to
 disable. Default: ``~/.cache/seq2seq_vc_tpu/xla``.
+
+``S2S_JAX_PLATFORM`` (e.g. ``cpu``) forces the jax platform for every CLI
+— needed because images that pre-import jax from sitecustomize pin
+``JAX_PLATFORMS`` before user code runs, so the env var alone cannot
+redirect a recipe stage to CPU; ``jax.config.update`` after import can.
 """
 
 from __future__ import annotations
@@ -22,7 +27,16 @@ _DEFAULT = os.path.join(
 
 
 def enable_compilation_cache() -> None:
-    """Idempotently point jax at the on-disk compilation cache."""
+    """Idempotently point jax at the on-disk compilation cache (and apply
+    the ``S2S_JAX_PLATFORM`` override) — called first by every CLI."""
+    plat = os.environ.get("S2S_JAX_PLATFORM")
+    if plat:
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", plat)
+        except Exception as e:  # pragma: no cover
+            logging.warning("S2S_JAX_PLATFORM=%s not applied: %s", plat, e)
     path = os.environ.get("S2S_JAX_CACHE_DIR", _DEFAULT)
     if not path:
         return
