@@ -58,11 +58,12 @@ def build_converter(args):
     )
     config = load_config(config_path)
     model_type = config["model_type"]
-    if model_type != "AASVC":
+    if model_type not in ("AASVC", "VTN"):
         raise NotImplementedError(
-            f"vc_serve drives the single-jit NAR pipeline (AASVC); got "
-            f"{model_type!r} — use bin/vc_decode for AR models"
+            f"vc_serve hosts AASVC (single-jit NAR pipeline) and VTN "
+            f"(chunked AR pipeline); got {model_type!r}"
         )
+    is_ar = model_type == "VTN"
     model = get_model_class(model_type)(**config["model_params"])
 
     d = config["model_params"]["idim"]
@@ -71,11 +72,17 @@ def build_converter(args):
         "ilens": np.asarray([64], np.int32),
         "ys": np.zeros((1, 64, config["model_params"]["odim"]), np.float32),
         "olens": np.asarray([64], np.int32),
-        "dp_inputs": np.zeros((1, 64, d), np.float32),
-        "dplens": np.asarray([64], np.int32),
     }
     cfg_for_init = dict(config)
-    cfg_for_init["collater_type"] = config.get("collater_type", "NARVCCollater")
+    if is_ar:
+        dummy["labels"] = np.zeros((1, 64), np.float32)
+        cfg_for_init["collater_type"] = "ARVCCollater"
+    else:
+        dummy["dp_inputs"] = np.zeros((1, 64, d), np.float32)
+        dummy["dplens"] = np.asarray([64], np.int32)
+        cfg_for_init["collater_type"] = config.get(
+            "collater_type", "NARVCCollater"
+        )
     params = init_model_params(model, cfg_for_init, dummy)
     params = load_checkpoint(args.checkpoint, params)["model"]
     logging.info("restored model from %s", args.checkpoint)
@@ -101,7 +108,10 @@ def build_converter(args):
     logging.info("restored vocoder from %s", args.vocoder_checkpoint)
 
     del jax  # converter manages its own jits
-    return Wav2WavConverter(
+    cls = Wav2WavConverter
+    if is_ar:
+        from ..pipeline import Wav2WavARConverter as cls  # noqa: N813
+    return cls(
         model, params, voc, vparams, src_stats, trg_stats, config,
         vocoder_stats=vocoder_stats, bucket_frames=args.bucket_frames,
     )

@@ -242,3 +242,159 @@ class Wav2WavConverter:
             n_samples = min(n_frames_i * self.hop_size, wav.shape[0])
             wavs.append(np.asarray(wav[:n_samples]))
         return wavs
+
+
+class Wav2WavARConverter:
+    """Wav->wav conversion through an AR model (VTN): per-bucket jitted
+    log-mel analysis, chunked AR decode via ``models/ar_driver.
+    ChunkedARDecoder`` (geometric chunk growth + speculative dispatch +
+    expected-length first chunk), stat chain, chunked HiFi-GAN synthesis.
+
+    Same serving surface as ``Wav2WavConverter`` (``__call__`` and
+    ``convert_batch``), so ``bin/vc_serve.py`` can host AR checkpoints too —
+    the reference has no serving path for either model family.
+    """
+
+    def __init__(
+        self,
+        model,
+        model_params: Any,
+        vocoder: HifiganGenerator,
+        vocoder_params: Any,
+        src_stats: Dict[str, np.ndarray],
+        trg_stats: Dict[str, np.ndarray],
+        config: Dict[str, Any],
+        vocoder_stats: Optional[Dict[str, np.ndarray]] = None,
+        bucket_frames: int = 64,
+    ):
+        from .models.ar_driver import ChunkedARDecoder
+
+        self.model = model
+        self.model_params = model_params
+        self.vocoder = vocoder
+        self.vocoder_params = vocoder_params
+        self.config = config
+        self.bucket_frames = bucket_frames
+        self.fft_size = config.get("fft_size", 1024)
+        self.hop_size = config.get("hop_size", 256)
+        self.sr = config.get("sampling_rate", 16000)
+
+        self._window = np.asarray(
+            hann_window(config.get("win_length") or self.fft_size, self.fft_size)
+        )
+        self._mel_t = np.asarray(
+            mel_filterbank(
+                self.sr, self.fft_size, config.get("num_mels", 80),
+                config.get("fmin") or 0, config.get("fmax") or self.sr / 2,
+            ).T
+        )
+        self._src_mean = np.asarray(src_stats["mean"], np.float32)
+        self._src_scale = np.asarray(src_stats["scale"], np.float32)
+        self._trg_mean = np.asarray(trg_stats["mean"], np.float32)
+        self._trg_scale = np.asarray(trg_stats["scale"], np.float32)
+        if vocoder_stats is not None:
+            self._voc_mean = np.asarray(vocoder_stats["mean"], np.float32)
+            self._voc_scale = np.asarray(vocoder_stats["scale"], np.float32)
+        else:
+            self._voc_mean = self._trg_mean
+            self._voc_scale = self._trg_scale
+
+        inf = config.get("inference", {}) or {}
+        self._est_ratio = float(inf.get("decode_est_len_ratio", 1.2))
+        self._r = int(
+            config.get("model_params", {}).get("decoder_reduction_factor", 1)
+            if isinstance(config.get("model_params"), dict)
+            else getattr(model, "decoder_reduction_factor", 1)
+        )
+        self.driver = ChunkedARDecoder(
+            model, type(model),
+            threshold=inf.get("threshold", 0.5),
+            minlenratio=inf.get("minlenratio", 0.0),
+            maxlenratio=inf.get("maxlenratio", 6.0),
+            base_chunk=int(inf.get("decode_chunk_steps", 32)),
+            max_chunk=int(inf.get("decode_max_chunk_steps", 256)),
+        )
+        self._jit_cache: Dict[Any, Any] = {}
+
+    def _analysis_fn(self, n_padded: int, batch: int):
+        key = ("mel", n_padded, batch)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        hop, fft = self.hop_size, self.fft_size
+
+        @jax.jit
+        def analyze(x_padded):
+            one = lambda x: (
+                _logmel(x, self._window, self._mel_t, fft, hop, 10.0)
+                - self._src_mean
+            ) / self._src_scale
+            return jax.vmap(one)(x_padded) if x_padded.ndim == 2 else one(x_padded)
+
+        self._jit_cache[key] = analyze
+        return analyze
+
+    def _synth_fn(self):
+        if "synth" in self._jit_cache:
+            return self._jit_cache["synth"]
+        vocoder = self.vocoder
+
+        @jax.jit
+        def synth(vp, feats):
+            from .vocoder.hifigan import chunked_generate
+
+            return chunked_generate(vocoder, vp, feats)
+
+        self._jit_cache["synth"] = synth
+        return synth
+
+    def _prepare(self, audios):
+        pad = self.fft_size // 2
+        xs = [np.pad(np.asarray(a, np.float32), (pad, pad), mode="reflect")
+              for a in audios]
+        n_trues = [num_frames(len(a), self.hop_size) for a in audios]
+        n_raw = max(1 + (len(x) - self.fft_size) // self.hop_size for x in xs)
+        m = int(np.lcm(self.bucket_frames, max(self._r, 1)))
+        n_padded = ((n_raw + m - 1) // m) * m
+        target_len = self.fft_size + (n_padded - 1) * self.hop_size
+        batch = np.zeros((len(xs), target_len), np.float32)
+        for i, x in enumerate(xs):
+            n = min(len(x), target_len)
+            batch[i, :n] = x[:n]
+        return batch, np.asarray(n_trues, np.int32), n_padded
+
+    def convert_batch(self, audios, rng=None):
+        """Batched AR conversion: one chunked decode drives the whole
+        (B, T) batch (per-item early stop handled by the driver's budget
+        masks); per-item synthesis on length buckets."""
+        audios = [np.asarray(a, np.float32) for a in audios]
+        if not audios:
+            return []
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        batch, n_trues, n_padded = self._prepare(audios)
+        mel = self._analysis_fn(n_padded, len(audios))(jnp.asarray(batch))
+        est = int(np.ceil(self._est_ratio * int(n_trues.max()) / self._r))
+        out = self.driver(
+            self.model_params, mel, jnp.asarray(n_trues), rng, est_steps=est
+        )
+        feats_all = out["outs"] * self._trg_scale + self._trg_mean
+        feats_all = (feats_all - self._voc_mean) / self._voc_scale
+        out_lens = np.asarray(out["out_lens"])
+
+        synth = self._synth_fn()
+        wavs = []
+        for i in range(len(audios)):
+            n_frames_i = max(1, int(out_lens[i]))
+            n_bucket = min(
+                feats_all.shape[1],
+                ((n_frames_i + self.bucket_frames - 1) // self.bucket_frames)
+                * self.bucket_frames,
+            )
+            wav = synth(self.vocoder_params, feats_all[i, :n_bucket])
+            n_samples = min(n_frames_i * self.hop_size, wav.shape[0])
+            wavs.append(np.asarray(wav[:n_samples]))
+        return wavs
+
+    def __call__(self, audio: np.ndarray, rng=None) -> np.ndarray:
+        """audio (T,) float32 in [-1,1] -> converted waveform (T',)."""
+        return self.convert_batch([audio], rng=rng)[0]

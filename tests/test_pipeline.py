@@ -144,3 +144,57 @@ def test_wav2wav_convert_batch_matches_single():
     single0 = conv(audios[0])
     np.testing.assert_array_equal(batched[0].shape, single0.shape)
     np.testing.assert_allclose(batched[0], single0, rtol=1e-5, atol=1e-5)
+
+
+def test_wav2wav_ar_converter_roundtrip_and_batch():
+    """AR (VTN) wav->wav converter: analysis jit -> ChunkedARDecoder ->
+    chunked HiFi-GAN, single and batched; output is hop-aligned audio of
+    out_lens frames."""
+    from seq2seq_vc_tpu.models import VTN
+    from seq2seq_vc_tpu.pipeline import Wav2WavARConverter
+
+    sr = 16000
+    model = VTN(
+        idim=80, odim=80, adim=32, aheads=2, elayers=1, eunits=64,
+        dlayers=1, dunits=64, postnet_layers=2, postnet_chans=16,
+        dprenet_units=16, decoder_reduction_factor=2,
+    )
+    voc = HifiganGenerator(
+        in_channels=80, upsample_channels=32,
+        upsample_kernel_sizes=(16, 16, 4, 4), upsample_factors=(8, 8, 2, 2),
+        resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3),),
+    )
+    rng = np.random.default_rng(0)
+    dummy_mel = rng.standard_normal((1, 32, 80)).astype(np.float32)
+    lens = np.asarray([32], np.int32)
+    labels = np.zeros((1, 32), np.float32)
+    keys = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    mp = jax.jit(
+        lambda m, l, lab: model.init(keys, m, l, m, lab, l, deterministic=True)
+    )(dummy_mel, lens, labels)
+    vp = jax.jit(lambda m: voc.init(jax.random.PRNGKey(3), m))(dummy_mel)
+
+    stats = {"mean": np.zeros(80, np.float32), "scale": np.ones(80, np.float32)}
+    config = {
+        "sampling_rate": sr, "fft_size": 1024, "hop_size": 256,
+        "num_mels": 80, "fmin": 80, "fmax": 7600,
+        "model_params": {"decoder_reduction_factor": 2},
+        # low threshold: the random-init model stops early, exercising the
+        # early-exit path; small chunks keep the CPU test fast
+        "inference": {"threshold": 0.3, "maxlenratio": 3.0,
+                      "decode_chunk_steps": 8, "decode_max_chunk_steps": 32},
+    }
+    conv = Wav2WavARConverter(model, mp, voc, vp, stats, stats, config,
+                              bucket_frames=32)
+
+    t = np.arange(sr // 2) / sr
+    audio = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    y = conv(audio)
+    assert y.ndim == 1 and len(y) > 0 and len(y) % 256 == 0
+    assert np.isfinite(y).all()
+
+    ys = conv.convert_batch([audio, audio[: sr // 4]],
+                            rng=jax.random.PRNGKey(5))
+    assert len(ys) == 2
+    for w in ys:
+        assert w.ndim == 1 and len(w) > 0 and np.isfinite(w).all()
