@@ -56,6 +56,10 @@ def main():
     parser.add_argument("--batch-size", type=int, default=1,
                         help="decode N same-bucket utterances per TPU call "
                              "(the reference decodes one at a time)")
+    parser.add_argument("--data-parallel", type=int, default=1,
+                        help="shard each decode batch over N devices (batch "
+                             "rows padded to a multiple of N; requires "
+                             "--batch-size > 1)")
     parser.add_argument("--skip-plots", action="store_true",
                         help="skip mel/attention/stop-prob diagnostic plots")
     parser.add_argument("--verbose", type=int, default=1)
@@ -177,6 +181,38 @@ def main():
     dur_dir = os.path.join(args.outdir, "durations")
     os.makedirs(dur_dir, exist_ok=True)
 
+    # data-parallel decode: shard the batch axis over a device mesh; the
+    # jitted programs propagate the sharding (pjit), so every decode batch
+    # runs on all N chips with replicated params — multi-chip inference the
+    # reference (single-GPU decode loop) has no counterpart for
+    n_dp = max(1, int(args.data_parallel))
+    dp_sharding = None
+    if n_dp > 1:
+        from jax.sharding import Mesh, NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        if args.batch_size < n_dp or args.batch_size % n_dp:
+            raise ValueError("--batch-size must be a positive multiple of "
+                             "--data-parallel")
+        devs = jax.devices()
+        if len(devs) < n_dp:
+            raise ValueError(
+                f"--data-parallel {n_dp} > available devices {len(devs)}"
+            )
+        mesh = Mesh(np.asarray(devs[:n_dp]), ("data",))
+        dp_sharding = NamedSharding(mesh, P("data"))
+        params = jax.device_put(params, NamedSharding(mesh, P()))
+
+    def _shard_rows(arr, n_rows):
+        """Pad the batch axis to a multiple of n_dp (repeat the last row)
+        and place it sharded; returns (array, true_row_count)."""
+        if dp_sharding is None:
+            return jnp.asarray(arr), n_rows
+        pad_rows = (-n_rows) % n_dp
+        if pad_rows:
+            arr = np.concatenate([arr] + [arr[-1:]] * pad_rows, axis=0)
+        return jax.device_put(arr, dp_sharding), n_rows
+
     # group utterances into same-bucket batches so one compiled program
     # serves many utterances per TPU call
     if args.batch_size > 1 and not args.use_teacher_forcing:
@@ -204,16 +240,17 @@ def main():
                 dp = np.zeros((Bn, Tb, items[0]["dp_input"].shape[1]), np.float32)
                 for bi, it in enumerate(items):
                     dp[bi, : it["dp_input"].shape[0]] = it["dp_input"]
-                dp = jnp.asarray(dp)
+                dp, _ = _shard_rows(dp, Bn)
             key = jax.random.fold_in(
                 jax.random.PRNGKey(config.get("seed", 0)), group[0]
             )
+            xs_d, _ = _shard_rows(xs, Bn)
+            ilens_d, _ = _shard_rows(ilens, Bn)
             start = time.time()
             if is_ar:
-                out = run(params, jnp.asarray(xs), jnp.asarray(ilens), key)
+                out = run(params, xs_d, ilens_d, key)
             else:
-                out = run(params, jnp.asarray(xs), jnp.asarray(ilens), key, dp,
-                          max_out=Tb * 2)
+                out = run(params, xs_d, ilens_d, key, dp, max_out=Tb * 2)
             out_lens = np.asarray(out["out_lens"])
             outs_all = np.asarray(out["outs"])
             elapsed = time.time() - start

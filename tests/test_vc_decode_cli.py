@@ -15,7 +15,7 @@ import yaml
 from seq2seq_vc_tpu.utils import write_hdf5
 
 
-def test_vc_decode_cli_diffsinger(tmp_path, monkeypatch):
+def _setup_and_run(tmp_path, monkeypatch, extra_argv=()):
     from seq2seq_vc_tpu.bin.vc_decode import main
     from seq2seq_vc_tpu.bin.vc_train import init_model_params
     from seq2seq_vc_tpu.core.checkpoint import save_checkpoint
@@ -24,7 +24,7 @@ def test_vc_decode_cli_diffsinger(tmp_path, monkeypatch):
     d = 20
     dump = tmp_path / "dump"
     rng = np.random.default_rng(0)
-    for i in range(2):
+    for i in range(3):
         T = 20 + 8 * i
         write_hdf5(
             str(dump / f"utt{i}.h5"), "feats",
@@ -78,10 +78,28 @@ def test_vc_decode_cli_diffsinger(tmp_path, monkeypatch):
         "--outdir", str(outdir),
         "--feat-type", "feats",
         "--skip-plots",
+        *extra_argv,
     ]
     monkeypatch.setattr(sys, "argv", argv)
     main()
+    return outdir
 
-    for utt in ("utt0", "utt1"):
+
+def test_vc_decode_cli_diffsinger(tmp_path, monkeypatch):
+    outdir = _setup_and_run(tmp_path, monkeypatch)
+    for utt in ("utt0", "utt1", "utt2"):
+        assert os.path.exists(outdir / f"{utt}.h5"), utt
+        assert os.path.exists(outdir / "wav" / f"{utt}.wav"), utt
+
+
+def test_vc_decode_cli_data_parallel(tmp_path, monkeypatch):
+    """--data-parallel 2 shards the decode batch over the fake CPU mesh
+    (conftest provides 8 devices); artifacts come out for every utterance
+    (incl. a partial final batch padded to the mesh multiple)."""
+    outdir = _setup_and_run(
+        tmp_path, monkeypatch,
+        extra_argv=["--batch-size", "2", "--data-parallel", "2"],
+    )
+    for utt in ("utt0", "utt1", "utt2"):
         assert os.path.exists(outdir / f"{utt}.h5"), utt
         assert os.path.exists(outdir / "wav" / f"{utt}.wav"), utt
