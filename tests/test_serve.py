@@ -222,3 +222,80 @@ def test_load_hifigan_model_layouts(tmp_path):
         model, restored = load_hifigan_model(path, cfg_path)
         got = np.asarray(model.apply(restored, x))
         np.testing.assert_array_equal(got, want, err_msg=name)
+
+
+def test_build_converter_vtn_ar_path(tmp_path):
+    """vc_serve hosts AR (VTN) checkpoints: build_converter dispatches to
+    Wav2WavARConverter and a conversion runs end to end from files."""
+    import argparse
+
+    import jax.numpy as jnp
+    import yaml
+
+    from seq2seq_vc_tpu.bin.vc_serve import build_converter
+    from seq2seq_vc_tpu.core.checkpoint import save_checkpoint
+    from seq2seq_vc_tpu.models import VTN
+    from seq2seq_vc_tpu.pipeline import Wav2WavARConverter
+    from seq2seq_vc_tpu.utils.io import write_hdf5
+
+    d = 8  # matches the tiny vocoder's in_channels
+    model_params = dict(
+        idim=d, odim=d, adim=16, aheads=2, elayers=1, eunits=32,
+        dlayers=1, dunits=32, postnet_layers=2, postnet_chans=8,
+        dprenet_units=8, decoder_reduction_factor=2,
+    )
+    config = {
+        "sampling_rate": 16000, "fft_size": 256, "hop_size": 128,
+        "num_mels": d, "fmin": 80, "fmax": 7600,
+        "model_type": "VTN", "model_params": model_params,
+        "inference": {"threshold": 0.3, "maxlenratio": 2.0,
+                      "decode_chunk_steps": 8, "decode_max_chunk_steps": 16},
+    }
+    exp = tmp_path / "exp"
+    exp.mkdir()
+    with open(exp / "config.yml", "w") as f:
+        yaml.safe_dump(config, f)
+
+    model = VTN(**model_params)
+    keys = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    mp = model.init(
+        keys, np.zeros((1, 16, d), np.float32), np.asarray([16]),
+        np.zeros((1, 16, d), np.float32), np.zeros((1, 16), np.float32),
+        np.asarray([16]), deterministic=True,
+    )
+    ckpt = str(exp / "checkpoint-1steps.ckpt")
+    save_checkpoint(ckpt, mp, {}, 1, 1)
+
+    stats_path = str(tmp_path / "stats.h5")
+    write_hdf5(stats_path, "mel_mean", np.zeros(d, np.float32))
+    write_hdf5(stats_path, "mel_scale", np.ones(d, np.float32))
+
+    gen_cfg, vparams = _tiny_voc()
+    voc_ckpt = str(tmp_path / "voc.ckpt")
+    with open(voc_ckpt, "wb") as f:
+        f.write(flax.serialization.msgpack_serialize(vparams))
+    voc_cfg = str(tmp_path / "voc.yml")
+    import yaml as _yaml
+
+    with open(voc_cfg, "w") as f:
+        _yaml.safe_dump(
+            {"generator_params": {
+                k: (list(v) if isinstance(v, tuple) else v)
+                for k, v in gen_cfg.items()
+            }},
+            f,
+        )
+
+    args = argparse.Namespace(
+        checkpoint=ckpt, config=None, src_stats=stats_path,
+        trg_stats=stats_path, vocoder_checkpoint=voc_ckpt,
+        vocoder_config=voc_cfg, vocoder_stats=None, feat_type="mel",
+        bucket_frames=32,
+    )
+    conv = build_converter(args)
+    assert isinstance(conv, Wav2WavARConverter)
+    audio = (0.1 * np.random.default_rng(7).standard_normal(4000)).astype(
+        np.float32
+    )
+    y = conv(audio)
+    assert y.ndim == 1 and len(y) > 0 and np.isfinite(y).all()
