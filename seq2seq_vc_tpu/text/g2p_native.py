@@ -44,6 +44,22 @@ ARPABET_VOWELS = frozenset(
 # conventions). Kept deliberately to high-frequency items.
 # ---------------------------------------------------------------------------
 _LEXICON: Dict[str, str] = {
+    # high-frequency irregulars the letter-to-sound rules get wrong
+    "honest": "AA1 N AH0 S T",
+    "half": "HH AE1 F",
+    "none": "N AH1 N",
+    "lose": "L UW1 Z",
+    "money": "M AH1 N IY0",
+    "touch": "T AH1 CH",
+    "country": "K AH1 N T R IY0",
+    "blood": "B L AH1 D",
+    "flood": "F L AH1 D",
+    "shoe": "SH UW1",
+    "shoes": "SH UW1 Z",
+    "shown": "SH OW1 N",
+    "grown": "G R OW1 N",
+    "thrown": "TH R OW1 N",
+    "blown": "B L OW1 N",
     "a": "AH0",
     "an": "AH0 N",
     "the": "DH AH0",
