@@ -58,10 +58,10 @@ def build_converter(args):
     )
     config = load_config(config_path)
     model_type = config["model_type"]
-    if model_type not in ("AASVC", "VTN"):
+    if model_type not in ("AASVC", "FastSpeechVC", "VTN"):
         raise NotImplementedError(
-            f"vc_serve hosts AASVC (single-jit NAR pipeline) and VTN "
-            f"(chunked AR pipeline); got {model_type!r}"
+            f"vc_serve hosts AASVC/FastSpeechVC (single-jit NAR pipeline) "
+            f"and VTN (chunked AR pipeline); got {model_type!r}"
         )
     is_ar = model_type == "VTN"
     model = get_model_class(model_type)(**config["model_params"])
@@ -80,6 +80,9 @@ def build_converter(args):
     else:
         dummy["dp_inputs"] = np.zeros((1, 64, d), np.float32)
         dummy["dplens"] = np.asarray([64], np.int32)
+        if model_type == "FastSpeechVC":
+            dummy["durations"] = np.ones((1, 64), np.int32)
+            dummy["duration_lens"] = np.asarray([64], np.int32)
         cfg_for_init["collater_type"] = config.get(
             "collater_type", "NARVCCollater"
         )

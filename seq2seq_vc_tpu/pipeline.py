@@ -24,7 +24,11 @@ from .vocoder.hifigan import HifiganGenerator
 
 
 class Wav2WavConverter:
-    """End-to-end AAS-VC + HiFi-GAN converter, fully on device."""
+    """End-to-end NAR VC + HiFi-GAN converter, fully on device.
+
+    Works with any NAR model whose ``inference`` takes
+    ``(xs, ilens, dp_inputs, ..., max_output_frames=...)`` and returns
+    ``outs``/``out_lens`` — AASVC and FastSpeechVC both qualify."""
 
     def __init__(
         self,
@@ -93,7 +97,7 @@ class Wav2WavConverter:
                 mp, mel[None], jnp.asarray([n_frames]),
                 mel[None],  # dp_input = source mel (melmelmel config)
                 max_output_frames=max_out,
-                method=AASVC.inference, rngs={"noise": rng},
+                method=type(model).inference, rngs={"noise": rng},
             )
             feats = out["outs"][0]
             # 4. denorm by target stats, renorm by vocoder stats
@@ -188,7 +192,7 @@ class Wav2WavConverter:
             out = model.apply(
                 mp, mel, n_frames, mel,
                 max_output_frames=max_out,
-                method=AASVC.inference, rngs={"noise": rng},
+                method=type(model).inference, rngs={"noise": rng},
             )
             feats = out["outs"]
             feats = feats * self._trg_scale + self._trg_mean

@@ -198,3 +198,44 @@ def test_wav2wav_ar_converter_roundtrip_and_batch():
     assert len(ys) == 2
     for w in ys:
         assert w.ndim == 1 and len(w) > 0 and np.isfinite(w).all()
+
+
+def test_wav2wav_converter_hosts_fastspeech_vc():
+    """The NAR converter is model-agnostic: FastSpeechVC rides the same
+    single-jit pipeline (duration predictor -> length regulate -> decode)."""
+    from seq2seq_vc_tpu.models import FastSpeechVC
+
+    sr = 16000
+    model = FastSpeechVC(
+        idim=80, odim=80, adim=32, aheads=2, elayers=1, eunits=64,
+        dlayers=1, dunits=64, postnet_layers=2, postnet_chans=16,
+        encoder_type="conformer", decoder_type="conformer",
+        encoder_input_layer="linear", positionwise_layer_type="linear",
+        conformer_enc_kernel_size=7, conformer_dec_kernel_size=7,
+        teacher_model_decoder_reduction_factor=2,
+    )
+    voc = HifiganGenerator(
+        in_channels=80, upsample_channels=32,
+        upsample_kernel_sizes=(16, 16, 4, 4), upsample_factors=(8, 8, 2, 2),
+        resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3),),
+    )
+    rng = np.random.default_rng(0)
+    mel = rng.standard_normal((1, 16, 80)).astype(np.float32)
+    lens = np.asarray([16], np.int32)
+    ds = np.ones((1, 16), np.int32)
+    keys = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    mp = jax.jit(
+        lambda m, l, d: model.init(keys, m, l, m, l, d, deterministic=True)
+    )(mel, lens, ds)
+    vp = jax.jit(lambda m: voc.init(jax.random.PRNGKey(3), m))(mel)
+
+    stats = {"mean": np.zeros(80, np.float32), "scale": np.ones(80, np.float32)}
+    config = {"sampling_rate": sr, "fft_size": 1024, "hop_size": 256,
+              "num_mels": 80, "fmin": 80, "fmax": 7600}
+    conv = Wav2WavConverter(model, mp, voc, vp, stats, stats, config,
+                            bucket_frames=32)
+    audio = (0.3 * np.sin(2 * np.pi * 220 * np.arange(sr // 2) / sr)).astype(
+        np.float32
+    )
+    y = conv(audio)
+    assert y.ndim == 1 and len(y) > 0 and np.isfinite(y).all()
