@@ -7,8 +7,10 @@ invocation. On TPU the economics are inverted: compilation dominates
 (minutes over a remote-compile tunnel) while a warm conversion is
 milliseconds — so the production deployment is a resident process that
 compiles each length bucket once and serves every subsequent request from
-the jit cache (``pipeline.Wav2WavConverter``: log-mel -> normalize ->
-AAS-VC -> stat chain -> chunked HiFi-GAN as ONE compiled program).
+the jit cache. NAR checkpoints (AASVC / FastSpeechVC) ride
+``pipeline.Wav2WavConverter`` (log-mel -> normalize -> conversion -> stat
+chain -> chunked HiFi-GAN as ONE compiled program); VTN rides
+``pipeline.Wav2WavARConverter`` (chunked AR driver).
 
 Protocols (newline-delimited, one request per line):
 
