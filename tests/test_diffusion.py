@@ -255,6 +255,45 @@ def test_aasvc_diffsinger_trains_through_the_trainer(tmp_path):
     assert "diffsinger_l2_loss" in m
 
 
+def test_diffsinger_l2_loss_decreases_over_training(tmp_path):
+    """The diffusion training signal is learnable: DiffSingerL2Loss on a
+    fixed batch drops over optimizer steps (the zero-init head starts at
+    exactly E||eps||^2, so any learning moves it down)."""
+    import optax
+
+    model = _small_aasvc("diffsinger")
+    xs, ilens, ys, olens = _batch()
+    keys = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+            "noise": jax.random.PRNGKey(2)}
+    params = model.init(keys, xs, ilens, ys, olens, deterministic=True)
+    l2 = DiffSingerL2Loss()
+    tx = optax.adam(1e-2)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            # FIXED noise/timestep draw: the optimizer fits one target, so
+            # the loss must fall monotonically-ish from the zero-init head's
+            # exact E||eps||^2 starting point
+            o = model.apply(
+                p, xs, ilens, ys, olens, deterministic=True,
+                rngs={"dropout": jax.random.PRNGKey(0),
+                      "noise": jax.random.PRNGKey(100)},
+            )
+            return l2(o["noise"], o["x_recon"], o["olens_reduced"])
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses = []
+    for _ in range(45):
+        params, opt_state, loss = step(params, opt_state)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.6, losses
+
+
 def test_aasvc_prodiff_forward_and_inference():
     model = _small_aasvc("prodiff")
     xs, ilens, ys, olens = _batch()
