@@ -168,6 +168,9 @@ def main():
         trainer.save_checkpoint(
             os.path.join(args.outdir, f"checkpoint-{trainer.steps}steps.ckpt")
         )
+        from seq2seq_vc_tpu.core.checkpoint import wait_for_async_checkpoints
+
+        wait_for_async_checkpoints()
         logging.info("saved final checkpoint @ %d steps", trainer.steps)
 
 

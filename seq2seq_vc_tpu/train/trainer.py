@@ -87,6 +87,9 @@ class Trainer:
         logging.info("training starts: %d steps", max_steps)
         while not self.finish_train:
             self._train_epoch()
+        from ..core.checkpoint import wait_for_async_checkpoints
+
+        wait_for_async_checkpoints()
         logging.info("finished training (%d steps)", self.steps)
 
     # ----------------------------------------------------------------- core
@@ -371,7 +374,13 @@ class Trainer:
     # ----------------------------------------------------------- checkpoint
     def save_checkpoint(self, path: str):
         save_checkpoint(
-            path, self.state.params, self.state.opt_state, self.steps, self.epochs
+            path,
+            self.state.params,
+            self.state.opt_state,
+            self.steps,
+            self.epochs,
+            backend=self.config.get("checkpoint_backend", "msgpack"),
+            async_save=bool(self.config.get("checkpoint_async", False)),
         )
 
     def load_checkpoint(self, path: str, load_only_params: bool = False):

@@ -15,18 +15,23 @@ import numpy as np
 from .utils import SILENCE, SoundType
 
 
+def _interp_at(x: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    """Linearly sample (T, D) rows of ``x`` at fractional positions."""
+    t_in = x.shape[0]
+    pos = np.clip(pos, 0, t_in - 1)
+    lo = np.floor(pos).astype(int)
+    hi = np.minimum(lo + 1, t_in - 1)
+    w = (pos - lo)[:, None]
+    return (1 - w) * x[lo] + w * x[hi]
+
+
 def linear_resize(x: np.ndarray, size: int) -> np.ndarray:
     """(T, D) -> (size, D) linear interpolation (torch align_corners=False)."""
     t_in = x.shape[0]
     if t_in == size:
         return x.copy()
     # sample positions: out center i maps to (i + 0.5) * T/size - 0.5
-    pos = (np.arange(size) + 0.5) * (t_in / size) - 0.5
-    pos = np.clip(pos, 0, t_in - 1)
-    lo = np.floor(pos).astype(int)
-    hi = np.minimum(lo + 1, t_in - 1)
-    w = (pos - lo)[:, None]
-    return (1 - w) * x[lo] + w * x[hi]
+    return _interp_at(x, (np.arange(size) + 0.5) * (t_in / size) - 0.5)
 
 
 class TimeStretcherFineGrained:
@@ -53,5 +58,9 @@ class TimeStretcherFineGrained:
 
 class TimeStretcherGlobal:
     def __call__(self, units: np.ndarray, ratio: float) -> np.ndarray:
-        size = max(int(round(units.shape[0] * ratio)), 1)
-        return linear_resize(units, size)
+        # torch F.interpolate(scale_factor=ratio) semantics (reference
+        # stretcher.py:60-72): output size floors, and source positions are
+        # computed from the GIVEN ratio, not t_in/size — parity-tested vs
+        # live torch in tests/test_urhythmic_reference_parity.py.
+        size = max(int(np.floor(units.shape[0] * ratio)), 1)
+        return _interp_at(units, (np.arange(size) + 0.5) / ratio - 0.5)

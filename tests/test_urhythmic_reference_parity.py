@@ -1,0 +1,183 @@
+"""Urhythmic subsystem parity against the LIVE reference.
+
+Runs the reference's numba-jitted segment DP (pure-Python under the numba
+stub), scipy-based rhythm models, and torch time stretchers
+(``/root/reference/seq2seq_vc/urhythmic/{segmenter,rhythm_model,
+stretcher}.py``) side by side with this repo's vectorized numpy
+reimplementations (``seq2seq_vc_tpu/urhythmic/``) and asserts equality:
+segmentation boundaries/codes, cluster merging, sound-type identification,
+gamma duration distributions, transformed durations, and stretched units.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from reference_runtime import load_reference
+
+load_reference()
+
+from seq2seq_vc.urhythmic import segmenter as ref_segmenter  # noqa: E402
+from seq2seq_vc.urhythmic import rhythm_model as ref_rhythm  # noqa: E402
+from seq2seq_vc.urhythmic import stretcher as ref_stretcher  # noqa: E402
+from seq2seq_vc.urhythmic import utils as ref_utils  # noqa: E402
+
+from seq2seq_vc_tpu.urhythmic import segmenter as our_segmenter  # noqa: E402
+from seq2seq_vc_tpu.urhythmic import rhythm_model as our_rhythm  # noqa: E402
+from seq2seq_vc_tpu.urhythmic import stretcher as our_stretcher  # noqa: E402
+from seq2seq_vc_tpu.urhythmic import utils as our_utils  # noqa: E402
+
+
+@pytest.mark.parametrize("seed,gamma", [(0, 2.0), (1, 2.0), (2, 0.5), (3, 5.0)])
+def test_segment_dp_parity(seed, gamma):
+    """DP segmentation: codes and boundaries equal the reference's
+    O(T^2 K)-tensor numba DP (ref segmenter.py:158-181) on random inputs."""
+    rng = np.random.default_rng(seed)
+    T, K = 40, 5
+    log_probs = np.log(rng.dirichlet(np.ones(K), size=T)).astype(np.float32)
+
+    ref_codes, ref_bounds = ref_segmenter.segment(log_probs, gamma)
+    our_codes, our_bounds = our_segmenter.segment(log_probs, gamma)
+    np.testing.assert_array_equal(our_bounds, ref_bounds)
+    np.testing.assert_array_equal(our_codes, ref_codes)
+
+
+def test_segmenter_end_to_end_parity():
+    """Full Segmenter __call__: cluster fit + DP + cluster_merge + sound-type
+    mapping produce identical segments/boundaries (ref segmenter.py:117-136)."""
+    rng = np.random.default_rng(4)
+    K, D, T = 12, 6, 48
+    codebook = rng.standard_normal((K, D)).astype(np.float32)
+    log_probs = np.log(rng.dirichlet(np.ones(K), size=T)).astype(np.float32)
+
+    ref_seg = ref_segmenter.Segmenter(num_clusters=3, gamma=2)
+    our_seg = our_segmenter.Segmenter(num_clusters=3, gamma=2)
+    ref_seg.cluster(codebook)
+    our_seg.cluster(codebook)
+    np.testing.assert_array_equal(
+        our_seg.clustering.labels_, ref_seg.clustering.labels_
+    )
+
+    # identify sound types from shared random overlap stats
+    segs_r, bounds_r = ref_seg._segment(log_probs)
+    silences = rng.integers(0, 2, size=T).astype(bool)
+    voiced = rng.integers(0, 2, size=T).astype(bool)
+    utt_r = [(np.asarray(segs_r), np.asarray(bounds_r), silences, voiced)]
+    ref_types = ref_seg.identify(utt_r)
+    our_types = our_seg.identify(utt_r)
+    assert {k: v.value for k, v in our_types.items()} == {
+        k: v.value for k, v in ref_types.items()
+    }
+
+    ref_out, ref_b = ref_seg(log_probs)
+    our_out, our_b = our_seg(log_probs)
+    assert [s.value for s in our_out] == [s.value for s in ref_out]
+    np.testing.assert_array_equal(np.asarray(our_b), np.asarray(ref_b))
+
+
+def _random_utterances(rng, sound_types_mod, n_utts=6):
+    """Random (clusters, boundaries) utterances in a module's SoundType."""
+    ST = [sound_types_mod.SONORANT, sound_types_mod.OBSTRUENT, sound_types_mod.SILENCE]
+    utts = []
+    for _ in range(n_utts):
+        n_seg = int(rng.integers(4, 9))
+        durs = rng.integers(1, 12, size=n_seg)
+        bounds = np.concatenate([[0], np.cumsum(durs)]).tolist()
+        clusters = [ST[int(i)] for i in rng.integers(0, 3, size=n_seg)]
+        utts.append((clusters, bounds))
+    return utts
+
+
+def test_rhythm_model_fine_grained_parity():
+    """Gamma duration fits and duration transforms match the reference
+    (ref rhythm_model.py:44-170, scipy gamma MLE with floc=0)."""
+    rng = np.random.default_rng(5)
+    src_r = _random_utterances(rng, ref_utils)
+    rng = np.random.default_rng(5)
+    src_o = _random_utterances(rng, our_utils)
+    rng2 = np.random.default_rng(6)
+    tgt_r = _random_utterances(rng2, ref_utils)
+    rng2 = np.random.default_rng(6)
+    tgt_o = _random_utterances(rng2, our_utils)
+
+    ref_m = ref_rhythm.RhythmModelFineGrained()
+    our_m = our_rhythm.RhythmModelFineGrained()
+    ref_m.fit_source(src_r)
+    ref_m.fit_target(tgt_r)
+    our_m.fit_source(src_o)
+    our_m.fit_target(tgt_o)
+
+    ref_sd = ref_m.state_dict()
+    our_sd = our_m.state_dict()
+    for side in ("source", "target"):
+        # tuple layouts differ (ref (a, scale), ours (a, loc=0, scale)) —
+        # compare the gamma (shape, scale) pair
+        ref_params = {k.value: (v[0], v[-1]) for k, v in ref_sd[side].items()}
+        our_params = {
+            (k.value if hasattr(k, "value") else int(k)): (v[0], v[-1])
+            for k, v in our_sd[side].items()
+        }
+        assert set(ref_params) == set(our_params)
+        for k in ref_params:
+            np.testing.assert_allclose(
+                np.asarray(our_params[k], float),
+                np.asarray(ref_params[k], float),
+                rtol=1e-6,
+            )
+
+    # transformed durations on a fresh utterance. The reference __call__
+    # expects .value-keyed dists — the state it has after load_state_dict,
+    # not after fit_* (fit->call KeyErrors in the reference; its recipes
+    # always go fit -> save -> load -> call). Re-key to that runtime state.
+    ref_m.source = {k.value: v for k, v in ref_m.source.items()}
+    ref_m.target = {k.value: v for k, v in ref_m.target.items()}
+    clusters_r, bounds = src_r[0]
+    clusters_o = [our_utils.SoundType(c.value) for c in clusters_r]
+    assert our_m(clusters_o, bounds) == ref_m(clusters_r, bounds)
+
+
+def test_segment_rate_parity():
+    rng = np.random.default_rng(7)
+    utts_r = _random_utterances(rng, ref_utils, n_utts=1)
+    codes_r, bounds = utts_r[0]
+    codes_o = [our_utils.SoundType(c.value) for c in codes_r]
+    ref_v = ref_rhythm.segment_rate(
+        codes_r, bounds, ref_utils.SONORANT, ref_utils.SILENCE
+    )
+    our_v = our_rhythm.segment_rate(
+        codes_o, bounds, our_utils.SONORANT, our_utils.SILENCE
+    )
+    np.testing.assert_allclose(our_v, ref_v, rtol=1e-9)
+
+
+def test_time_stretcher_parity():
+    """Fine-grained and global stretchers match torch F.interpolate
+    (ref stretcher.py:23-72); ours is (T, D) numpy, theirs (1, D, T)."""
+    rng = np.random.default_rng(8)
+    T, D = 30, 7
+    units = rng.standard_normal((T, D)).astype(np.float32)
+    units_t = torch.from_numpy(units.T[None])  # (1, D, T)
+
+    bounds = [0, 6, 11, 19, 24, 30]
+    clusters_r = [
+        ref_utils.SONORANT, ref_utils.SILENCE, ref_utils.OBSTRUENT,
+        ref_utils.SONORANT, ref_utils.SILENCE,
+    ]
+    clusters_o = [our_utils.SoundType(c.value) for c in clusters_r]
+    # silence seg [6,11) has len 5 > 3 so it is kept; [24,30) len 6 kept
+    tgt_durations = [9, 3, 8, 2, 4]
+
+    ref_out = ref_stretcher.TimeStretcherFineGrained()(
+        units_t, clusters_r, bounds, tgt_durations
+    )
+    our_out = our_stretcher.TimeStretcherFineGrained()(
+        units, clusters_o, bounds, tgt_durations
+    )
+    np.testing.assert_allclose(
+        our_out, ref_out[0].numpy().T, rtol=1e-5, atol=1e-6
+    )
+
+    ref_g = ref_stretcher.TimeStretcherGlobal()(units_t, 1.37)
+    our_g = our_stretcher.TimeStretcherGlobal()(units, 1.37)
+    np.testing.assert_allclose(our_g, ref_g[0].numpy().T, rtol=1e-5, atol=1e-6)
