@@ -36,7 +36,7 @@ fi
 
 if [ "$stage" -le 4 ] && [ "$stop_stage" -ge 4 ]; then
   echo "=== stage 4: decoding"
-  ckpt=$(ls -t "$expdir/${srcspk}_${trgspk}_${tag}"/checkpoint-*steps.ckpt | head -1)
+  ckpt=$(ls -dt "$expdir/${srcspk}_${trgspk}_${tag}"/checkpoint-*steps.ckpt | head -1)
   for set in dev eval; do
     python3 -m seq2seq_vc_tpu.bin.vc_decode \
       --dumpdir "$dumpdir/$srcspk/$set/norm" \
@@ -65,7 +65,7 @@ teacher_expdir=${teacher_expdir:-../vc1/exp/${srcspk}_${trgspk}_vtn.v1}
 
 if [ "$stage" -le 6 ] && [ "$stop_stage" -ge 6 ]; then
   echo "=== stage 6: teacher-forcing decode -> durations (teacher: $teacher_expdir)"
-  ckpt=$(ls -t "$teacher_expdir"/checkpoint-*steps.ckpt | head -1)
+  ckpt=$(ls -dt "$teacher_expdir"/checkpoint-*steps.ckpt | head -1)
   for set in train dev; do
     python3 -m seq2seq_vc_tpu.bin.vc_decode \
       --dumpdir "$dumpdir/$srcspk/$set/norm" \

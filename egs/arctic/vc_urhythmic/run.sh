@@ -65,7 +65,7 @@ fi
 
 if [ "$stage" -le 5 ] && [ "$stop_stage" -ge 5 ]; then
   echo "=== stage 5: conversion"
-  ckpt=$(ls -t "$workdir/voc_$trgspk"/model-*.ckpt | head -1)
+  ckpt=$(ls -dt "$workdir/voc_$trgspk"/model-*.ckpt | head -1)
   $cli convert --in-dir "$workdir/$srcspk/enc" \
     --out-dir "$workdir/converted_${srcspk}_${trgspk}" \
     --segmenter-checkpoint "$segmenter_checkpoint" \

@@ -118,7 +118,7 @@ fi
 
 if [ "$stage" -le 4 ] && [ "$stop_stage" -ge 4 ]; then
   echo "=== stage 4: decoding (latent->latent->wav via s3prl_feat2wav)"
-  ckpt=$(ls -t "$expdir/${srcspk}_${trgspk}_${tag}"/checkpoint-*steps.ckpt | head -1)
+  ckpt=$(ls -dt "$expdir/${srcspk}_${trgspk}_${tag}"/checkpoint-*steps.ckpt | head -1)
   for set in dev eval; do
     python3 -m seq2seq_vc_tpu.bin.vc_decode \
       --dumpdir "$dumpdir/$srcspk/$set/norm" \

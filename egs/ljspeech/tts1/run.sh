@@ -72,7 +72,7 @@ fi
 
 if [ "$stage" -le 4 ] && [ "$stop_stage" -ge 4 ]; then
   echo "=== stage 4: TTS decoding (dev subset)"
-  ckpt=$(ls -t "$expdir/$tag"/checkpoint-*steps.ckpt | head -1)
+  ckpt=$(ls -dt "$expdir/$tag"/checkpoint-*steps.ckpt | head -1)
   head -20 data/text > data/decode_text
   python3 -m seq2seq_vc_tpu.bin.tts_decode \
     --text data/decode_text --checkpoint "$ckpt" \
@@ -83,7 +83,7 @@ fi
 
 if [ "$stage" -le 6 ] && [ "$stop_stage" -ge 6 ]; then
   echo "=== stage 6: TTS-AEPT (mel encoder re-training, decoder frozen)"
-  ckpt=$(ls -t "$expdir/$tag"/checkpoint-*steps.ckpt | head -1)
+  ckpt=$(ls -dt "$expdir/$tag"/checkpoint-*steps.ckpt | head -1)
   python3 -m seq2seq_vc_tpu.bin.vc_train \
     --src-train-dumpdir "$dumpdir/train/norm" \
     --src-dev-dumpdir "$dumpdir/dev/norm" \

@@ -61,7 +61,7 @@ fi
 
 if [ "$stage" -le 4 ] && [ "$stop_stage" -ge 4 ]; then
   echo "=== stage 4: TTS decoding"
-  ckpt=$(ls -t "$workdir/exp"/checkpoint-*steps.ckpt | head -1)
+  ckpt=$(ls -dt "$workdir/exp"/checkpoint-*steps.ckpt | head -1)
   head -3 "$workdir/corpus/text" > "$workdir/decode_text"
   python -m seq2seq_vc_tpu.bin.tts_decode \
     --text "$workdir/decode_text" --checkpoint "$ckpt" \

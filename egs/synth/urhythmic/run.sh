@@ -56,7 +56,7 @@ fi
 
 if [ "$stage" -le 5 ] && [ "$stop_stage" -ge 5 ]; then
   echo "=== stage 5: conversion"
-  ckpt=$(ls -t "$workdir/voc_trg"/model-*.ckpt | head -1)
+  ckpt=$(ls -dt "$workdir/voc_trg"/model-*.ckpt | head -1)
   $cli convert --in-dir "$workdir/src/enc" \
     --out-dir "$workdir/converted_src_trg" \
     --segmenter-checkpoint "$workdir/downloads/segmenter.pkl" \

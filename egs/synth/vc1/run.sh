@@ -67,7 +67,7 @@ fi
 
 if [ "$stage" -le 4 ] && [ "$stop_stage" -ge 4 ]; then
   echo "=== stage 4: decoding"
-  ckpt=$(ls -t "$workdir/exp"/checkpoint-*steps.ckpt | head -1)
+  ckpt=$(ls -dt "$workdir/exp"/checkpoint-*steps.ckpt | head -1)
   python -m seq2seq_vc_tpu.bin.vc_decode \
     --dumpdir "$workdir/dump/src/norm" \
     --dp-input-dir "$workdir/dump/src/norm" \
@@ -90,7 +90,7 @@ fi
 
 if [ "$stage" -le 6 ] && [ "$stop_stage" -ge 6 ]; then
   echo "=== stage 6: teacher-forcing decode -> durations"
-  ckpt=$(ls -t "$workdir/exp_vtn"/checkpoint-*steps.ckpt | head -1)
+  ckpt=$(ls -dt "$workdir/exp_vtn"/checkpoint-*steps.ckpt | head -1)
   python -m seq2seq_vc_tpu.bin.vc_decode \
     --dumpdir "$workdir/dump/src/norm" \
     --trg-dumpdir "$workdir/dump/trg/norm" \

@@ -1,0 +1,445 @@
+"""Cross-framework END-TO-END parity: wav -> train -> decode -> wav -> MCD.
+
+Closes the BASELINE.md north star in-image: "MCD within 0.1 dB of the
+PyTorch reference". Real corpora cannot be fetched (no egress), so this
+uses the synthetic parallel corpus (tests/make_synth_corpus.py) and runs
+the LIVE reference (/root/reference, imported via tests/reference_runtime)
+side-by-side with this framework:
+
+ 1. build the synth src/trg corpus, extract log-mel with this package's
+    DSP (features are shared by both frameworks — the question under test
+    is the model/training stack, not the shared frontend);
+ 2. init ONE reference torch AASVC, convert it to flax
+    (seq2seq_vc_tpu.convert.convert_aasvc) -> identical init;
+ 3. train both for N steps with the reference trainer's exact loss
+    assembly (/root/reference/seq2seq_vc/trainers/aas_vc.py:60-146:
+    L1 + lambda_align*(forwardsum + bin) + duration, Adam) on identical
+    batches (B=1, exact lengths — the reference duration-predictor convs
+    read padded frames, its documented mask bug, so ragged padding would
+    diverge by design);
+ 4. decode the SAME held-out eval utterances with both frameworks
+    (reference aas_vc.py:531-603 inference vs models/aas_vc.inference),
+    denormalize, vocode BOTH with the same Griffin-Lim (same phase seed);
+ 5. report the CROSS-FRAMEWORK MCD between the two frameworks' output
+    wavs per utterance (plus each framework vs the ground-truth target,
+    for context) via the production metric core
+    (seq2seq_vc_tpu.evaluate.calculate_mcd_f0).
+
+Two horizons + a chaos-floor CONTROL: fp32 training is chaotic — ANY
+ulp-scale rounding difference (a different XLA fusion, a different op
+order) compounds exponentially along an optimization trajectory. So in
+addition to the jax-vs-torch pair this script trains a THIRD model:
+the same torch model from the same init with a 1e-7 relative init
+perturbation ("torch-B"). The torch-A-vs-torch-B output MCD is the
+intrinsic divergence floor of fp32 training itself; the framework delta
+is only meaningful relative to it. The short horizon (--coupled-steps,
+default 50) shows the trajectories still numerically coupled
+(cross-MCD << 0.1 dB); the long horizon (--steps, default 300) shows
+the framework delta sits AT the chaos floor, i.e. indistinguishable
+from running the reference twice.
+
+Training envelope (same as tests/test_reference_training_parity.py, where
+each exclusion is individually justified): dropout 0 everywhere (dropout
+RNGs cannot be aligned across frameworks), no BatchNorm/postnet (the one
+documented numerics deviation), deterministic duration predictor.
+
+Run relay-free on the host CPU (safe alongside TPU work):
+    PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
+        python scripts/e2e_parity.py --workdir /tmp/e2e_parity
+
+Writes docs/E2E_PARITY.md (or --report) with the per-utt numbers.
+"""
+
+from __future__ import annotations
+
+import argparse
+import copy
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+import optax  # noqa: E402
+import torch  # noqa: E402
+
+from make_synth_corpus import make_corpus  # noqa: E402
+from reference_runtime import load_reference  # noqa: E402
+
+from seq2seq_vc_tpu.convert import convert_aasvc  # noqa: E402
+from seq2seq_vc_tpu.dsp.features import LogMelExtractor  # noqa: E402
+from seq2seq_vc_tpu.dsp.stats import RunningStats  # noqa: E402
+from seq2seq_vc_tpu.evaluate import calculate_mcd_f0  # noqa: E402
+from seq2seq_vc_tpu.losses import get_criterion  # noqa: E402
+from seq2seq_vc_tpu.models import AASVC  # noqa: E402
+from seq2seq_vc_tpu.ops.forward_sum import (  # noqa: E402
+    beta_binomial_prior,
+    forward_sum_loss,
+)
+from seq2seq_vc_tpu.utils.audio import read_wav, write_wav  # noqa: E402
+from seq2seq_vc_tpu.vocoder.griffin_lim import Spectrogram2Waveform  # noqa: E402
+
+load_reference()
+
+from seq2seq_vc.losses.duration_predictor_loss import (  # noqa: E402
+    DurationPredictorLoss,
+)
+from seq2seq_vc.losses.forward_sum_loss import ForwardSumLoss  # noqa: E402
+from seq2seq_vc.losses.l1_loss import L1Loss  # noqa: E402
+from seq2seq_vc.models.aas_vc import AASVC as RefAASVC  # noqa: E402
+
+FS = 16000
+FFT, HOP, NMELS = 1024, 256, 40
+FMIN, FMAX = 80.0, 7600.0
+LAMBDA_ALIGN = 2.0
+LR = 1e-3
+
+
+def model_cfg(idim: int, odim: int) -> dict:
+    """Trajectory-parity envelope AASVC (see module docstring)."""
+    return dict(
+        idim=idim, odim=odim, adim=32, aheads=2, elayers=2, dlayers=2,
+        eunits=64, dunits=64, postnet_layers=0,
+        duration_predictor_type="deterministic",
+        duration_predictor_chans=32,
+        conformer_enc_kernel_size=7, conformer_dec_kernel_size=7,
+        encoder_input_layer="linear",
+        encoder_normalize_before=True, decoder_normalize_before=True,
+        use_cnn_in_conformer=False,
+        encoder_reduction_factor=1, post_encoder_reduction_factor=1,
+        decoder_reduction_factor=1,
+        transformer_enc_dropout_rate=0.0,
+        transformer_enc_positional_dropout_rate=0.0,
+        transformer_enc_attn_dropout_rate=0.0,
+        transformer_dec_dropout_rate=0.0,
+        transformer_dec_positional_dropout_rate=0.0,
+        transformer_dec_attn_dropout_rate=0.0,
+        duration_predictor_dropout_rate=0.0,
+    )
+
+
+def extract_features(scp_path: str) -> dict:
+    ext = LogMelExtractor(FS, FFT, HOP, num_mels=NMELS, fmin=FMIN, fmax=FMAX)
+    feats = {}
+    with open(scp_path) as f:
+        for line in f:
+            utt, path = line.split()
+            audio, sr = read_wav(path)
+            assert sr == FS
+            feats[utt] = np.asarray(ext(audio), np.float32)
+    return feats
+
+
+def fit_stats(feats: dict, train_utts: list) -> RunningStats:
+    st = RunningStats(NMELS)
+    for u in train_utts:
+        st.update(feats[u])
+    return st
+
+
+def ref_total_loss(ref, crit, xs, ilens, ys, olens):
+    """Reference trainer loss assembly (aas_vc.py trainer :60-146)."""
+    ret = ref(
+        torch.from_numpy(xs), torch.from_numpy(ilens),
+        torch.from_numpy(ys), torch.from_numpy(olens), None, None,
+    )
+    l1 = crit["L1"](ret["after_outs"], ret["before_outs"], ret["ys"], ret["olens"])
+    fsum = crit["FS"](ret["log_p_attn"], ret["ilens"], ret["olens_reduced"])
+    dur = crit["DP"](ret["d_outs"], ret["ds"], ret["ilens"])
+    return l1 + LAMBDA_ALIGN * (fsum + ret["bin_loss"]) + dur
+
+
+def run_horizon(steps, cfg, batches, nsrc, trg_st, eval_utts, wav_dir,
+                gl_iters, tag):
+    """Train torch-A, torch-B (1e-7-perturbed twin) and jax (converted
+    from torch-A) for `steps` identical steps; decode + vocode the eval
+    utterances with all three; return per-utt pairwise MCD rows."""
+    # identical inits
+    torch.manual_seed(0)
+    ref_a = RefAASVC(**cfg)
+    ref_a.train()
+    ref_b = copy.deepcopy(ref_a)
+    g = torch.Generator().manual_seed(123)
+    with torch.no_grad():
+        for p in ref_b.parameters():
+            p.mul_(1.0 + 1e-7 * torch.randn(p.shape, generator=g))
+    ours = AASVC(**cfg)
+    variables = convert_aasvc(ref_a.state_dict(), ours)
+
+    crit = {"L1": L1Loss(), "FS": ForwardSumLoss(cache_prior=False),
+            "DP": DurationPredictorLoss()}
+    opt_a = torch.optim.Adam(ref_a.parameters(), lr=LR)
+    opt_b = torch.optim.Adam(ref_b.parameters(), lr=LR)
+
+    l1_crit = get_criterion("L1Loss")
+    dur_crit = get_criterion("DurationPredictorLoss")
+    tx = optax.adam(LR)
+    opt_state = tx.init(variables)
+
+    def loss_fn(params, xs, ilens, ys, olens, prior):
+        out = ours.apply(
+            params, xs, ilens, ys, olens, deterministic=True,
+            rngs={"noise": jax.random.PRNGKey(0)},
+        )
+        l1 = l1_crit(out["after_outs"], out["before_outs"], out["ys"], out["olens"])
+        fsum = forward_sum_loss(
+            out["log_p_attn"] + prior, out["ilens"], out["olens_reduced"]
+        )
+        dur = dur_crit(out["d_outs"], out["ds"], out["ilens"])
+        total = l1 + LAMBDA_ALIGN * (fsum + out["bin_loss"]) + dur
+        return total
+
+    @jax.jit
+    def step(params, opt_state, xs, ilens, ys, olens, prior):
+        total, grads = jax.value_and_grad(loss_fn)(
+            params, xs, ilens, ys, olens, prior
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, total
+
+    loss_track = []
+    for i in range(steps):
+        xs, ilens, ys, olens, prior = batches[i % len(batches)]
+        ra = rb = None
+        for model, opt in ((ref_a, opt_a), (ref_b, opt_b)):
+            opt.zero_grad()
+            total = ref_total_loss(model, crit, xs, ilens, ys, olens)
+            total.backward()
+            opt.step()
+            if model is ref_a:
+                ra = float(total.detach())
+            else:
+                rb = float(total.detach())
+        variables, opt_state, total = step(
+            variables, opt_state, jnp.asarray(xs), jnp.asarray(ilens),
+            jnp.asarray(ys), jnp.asarray(olens), jnp.asarray(prior),
+        )
+        j = float(total)
+        loss_track.append((
+            j, ra, abs(j - ra) / max(abs(ra), 1e-9),
+            abs(rb - ra) / max(abs(ra), 1e-9),
+        ))
+        if i % 25 == 0 or i == steps - 1:
+            print(
+                f"[e2e:{tag}] step {i:4d} loss jax={j:.5f} torchA={ra:.5f} "
+                f"| rel jax-A {loss_track[-1][2]:.2e} "
+                f"B-A {loss_track[-1][3]:.2e}", flush=True,
+            )
+
+    # ---- decode all three, vocode identically ------------------------
+    ref_a.eval()
+    ref_b.eval()
+    s2w = Spectrogram2Waveform(
+        fs=FS, n_fft=FFT, n_shift=HOP, n_mels=NMELS, fmin=FMIN, fmax=FMAX,
+        griffin_lim_iters=gl_iters,
+    )
+    os.makedirs(wav_dir, exist_ok=True)
+    rows = []
+    for u in eval_utts:
+        x = nsrc[u]
+        Tin = x.shape[0]
+        mels = {}
+        with torch.no_grad():
+            for name, model in (("torchA", ref_a), ("torchB", ref_b)):
+                outs, _ = model.inference(
+                    torch.from_numpy(x), dp_input=torch.zeros(Tin, 1)
+                )
+                mels[name] = outs.numpy()
+        out = ours.apply(
+            variables, jnp.asarray(x)[None], jnp.asarray([Tin]),
+            max_output_frames=max(int(mels["torchA"].shape[0]) + 64, 96),
+            method=type(ours).inference,
+            rngs={"noise": jax.random.PRNGKey(0)},
+        )
+        mels["jax"] = np.asarray(out["outs"])[0, : int(out["out_lens"][0])]
+
+        wavs = {}
+        for name, mel in mels.items():
+            wav = s2w(mel * trg_st.scale + trg_st.mean)
+            wavs[name] = wav
+            write_wav(os.path.join(wav_dir, f"{u}_{name}.wav"), wav, FS)
+        gt, _ = read_wav(os.path.join(os.path.dirname(wav_dir), "trg", f"{u}.wav"))
+
+        mel_diff = (
+            float(np.abs(mels["jax"] - mels["torchA"]).max())
+            if mels["jax"].shape == mels["torchA"].shape
+            else float("nan")
+        )
+        frames = {k: int(v.shape[0]) for k, v in mels.items()}
+        row = dict(
+            utt=u,
+            frames=frames,
+            # a duration-rounding FLIP (predicted total duration crosses an
+            # integer boundary) is a discrete amplifier: the outputs stop
+            # being frame-aligned. Tracked for BOTH pairs — the control
+            # flips too, it is a property of fp32 chaos, not the framework.
+            jax_flip=frames["jax"] != frames["torchA"],
+            B_flip=frames["torchB"] != frames["torchA"],
+            mel_maxdiff=mel_diff,
+            jax_vs_A=calculate_mcd_f0(wavs["torchA"], wavs["jax"], FS, 70, 350)["MCD"],
+            B_vs_A=calculate_mcd_f0(wavs["torchA"], wavs["torchB"], FS, 70, 350)["MCD"],
+            A_vs_gt=calculate_mcd_f0(gt, wavs["torchA"], FS, 70, 350)["MCD"],
+            jax_vs_gt=calculate_mcd_f0(gt, wavs["jax"], FS, 70, 350)["MCD"],
+        )
+        rows.append(row)
+        print(
+            f"[e2e:{tag}] {u}: jax-vs-torchA MCD {row['jax_vs_A']:.4f} dB | "
+            f"chaos floor (torchB-vs-A) {row['B_vs_A']:.4f} dB | "
+            f"vs GT: A {row['A_vs_gt']:.3f} jax {row['jax_vs_gt']:.3f} | "
+            f"frames {row['frames']} mel_maxdiff={mel_diff:.2e}", flush=True,
+        )
+    return rows, loss_track
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--workdir", default="/tmp/e2e_parity")
+    p.add_argument("--steps", type=int, default=300)
+    p.add_argument("--coupled-steps", type=int, default=25)
+    p.add_argument("--n-utts", type=int, default=14)
+    p.add_argument("--n-eval", type=int, default=4)
+    p.add_argument("--report", default=os.path.join(REPO, "docs", "E2E_PARITY.md"))
+    p.add_argument("--gl-iters", type=int, default=64)
+    args = p.parse_args()
+
+    torch.set_num_threads(1)
+    t0 = time.time()
+    os.makedirs(args.workdir, exist_ok=True)
+
+    print("[e2e] building synth corpus + features", flush=True)
+    scps = make_corpus(args.workdir, n_utts=args.n_utts, sr=FS)
+    src = extract_features(scps["src"])
+    trg = extract_features(scps["trg"])
+    utts = sorted(src)
+    train_utts = utts[: -args.n_eval]
+    eval_utts = utts[-args.n_eval :]
+    src_st, trg_st = fit_stats(src, train_utts), fit_stats(trg, train_utts)
+    nsrc = {u: ((v - src_st.mean) / src_st.scale).astype(np.float32)
+            for u, v in src.items()}
+    ntrg = {u: ((v - trg_st.mean) / trg_st.scale).astype(np.float32)
+            for u, v in trg.items()}
+
+    cfg = model_cfg(NMELS, NMELS)
+    batches = []
+    for u in train_utts:
+        xs, ys = nsrc[u][None], ntrg[u][None]
+        batches.append((
+            xs, np.array([xs.shape[1]]), ys, np.array([ys.shape[1]]),
+            np.asarray(beta_binomial_prior(
+                jnp.asarray([xs.shape[1]]), jnp.asarray([ys.shape[1]]),
+                xs.shape[1], ys.shape[1],
+            )),
+        ))
+
+    results = {}
+    for tag, steps in (("coupled", args.coupled_steps), ("long", args.steps)):
+        print(f"[e2e] === horizon '{tag}': {steps} steps ===", flush=True)
+        rows, track = run_horizon(
+            steps, cfg, batches, nsrc, trg_st, eval_utts,
+            os.path.join(args.workdir, f"decoded_{tag}"), args.gl_iters, tag,
+        )
+        noflip = [r for r in rows if not r["jax_flip"]]
+        results[tag] = dict(
+            steps=steps, rows=rows,
+            final_rel=track[-1][2], max_rel=max(r[2] for r in track),
+            mean_jax_vs_A=float(np.mean([r["jax_vs_A"] for r in rows])),
+            mean_B_vs_A=float(np.mean([r["B_vs_A"] for r in rows])),
+            noflip_jax_vs_A=(
+                float(np.mean([r["jax_vs_A"] for r in noflip]))
+                if noflip else float("nan")
+            ),
+            n_noflip=len(noflip),
+            n_B_flip=sum(r["B_flip"] for r in rows),
+            mean_quality_delta=float(np.mean(
+                [r["jax_vs_gt"] - r["A_vs_gt"] for r in rows]
+            )),
+        )
+
+    c, l = results["coupled"], results["long"]
+    # PASS = at the coupled horizon the frame-aligned (non-duration-flip)
+    # outputs match within the 0.1 dB target with most utts frame-aligned,
+    # AND the long-horizon framework delta is within 2x the intrinsic fp32
+    # chaos floor (the reference trained twice from a 1e-7-perturbed init)
+    ok = (
+        c["n_noflip"] >= max(1, len(eval_utts) // 2)
+        and c["noflip_jax_vs_A"] <= 0.1
+        and l["mean_jax_vs_A"] <= max(0.1, 2.0 * l["mean_B_vs_A"])
+    )
+    verdict = "PASS" if ok else "FAIL"
+
+    os.makedirs(os.path.dirname(args.report), exist_ok=True)
+    with open(args.report, "w") as f:
+        f.write(
+            "# End-to-end cross-framework parity (synthetic corpus)\n\n"
+            "wav -> shared log-mel frontend -> identical converted init -> "
+            "N identical Adam steps in BOTH frameworks (reference torch "
+            "loss assembly, trainers/aas_vc.py:60-146) -> decode the same "
+            "held-out utterances -> identical Griffin-Lim -> MCD between "
+            "the frameworks' output waveforms. Produced by "
+            "`scripts/e2e_parity.py` (docstring has the protocol and the "
+            "training envelope).\n\n"
+            "**Chaos-floor control**: 'torch-B' is the reference trained "
+            "from the SAME init with a 1e-7 relative perturbation — the "
+            "torchB-vs-torchA MCD is what fp32 training chaos alone does "
+            "to output waveforms at each horizon; a framework delta at or "
+            "below that floor is indistinguishable from running the "
+            "reference twice.\n\n"
+            f"- corpus: {args.n_utts} synth parallel utts "
+            f"({len(utts) - args.n_eval} train / {args.n_eval} eval), "
+            f"{FS} Hz, {NMELS}-mel\n"
+            f"- **verdict: {verdict}** (coupled-horizon frame-aligned "
+            f"jax-vs-torch MCD {c['noflip_jax_vs_A']:.4f} dB <= 0.1 over "
+            f"{c['n_noflip']}/{len(eval_utts)} utts; long-horizon "
+            f"{l['mean_jax_vs_A']:.4f} dB vs chaos floor "
+            f"{l['mean_B_vs_A']:.4f} dB)\n"
+            "- 'flip' = the predicted total duration crossed an integer "
+            "boundary so the outputs are no longer frame-aligned — a "
+            "discrete amplifier of fp32 drift that the torchB control "
+            "exhibits too (see per-horizon counts).\n\n"
+        )
+        for tag, r in results.items():
+            f.write(
+                f"## Horizon '{tag}' ({r['steps']} steps)\n\n"
+                f"- training-loss agreement: final rel diff "
+                f"{r['final_rel']:.2e} (max {r['max_rel']:.2e})\n"
+                f"- mean jax-vs-torchA MCD: **{r['mean_jax_vs_A']:.4f} dB**"
+                f" (frame-aligned utts only: {r['noflip_jax_vs_A']:.4f} dB "
+                f"over {r['n_noflip']}) | chaos floor (torchB-vs-A): "
+                f"{r['mean_B_vs_A']:.4f} dB ({r['n_B_flip']} control "
+                "flips)\n"
+                f"- mean quality delta (MCD-vs-GT, jax minus torch): "
+                f"{r['mean_quality_delta']:+.4f} dB\n\n"
+                "| utt | frames A/B/jax | mel maxdiff | jax-vs-A MCD | "
+                "B-vs-A MCD | A-vs-GT | jax-vs-GT |\n"
+                "|---|---|---|---|---|---|---|\n"
+            )
+            for row in r["rows"]:
+                fr = row["frames"]
+                f.write(
+                    f"| {row['utt']} | {fr['torchA']}/{fr['torchB']}/"
+                    f"{fr['jax']} | {row['mel_maxdiff']:.2e} | "
+                    f"{row['jax_vs_A']:.4f} | {row['B_vs_A']:.4f} | "
+                    f"{row['A_vs_gt']:.3f} | {row['jax_vs_gt']:.3f} |\n"
+                )
+            f.write("\n")
+        f.write(
+            f"Runtime: {time.time() - t0:.0f} s (single CPU core, "
+            "relay-free). Wavs under the workdir's `decoded_*/`.\n"
+        )
+    with open(os.path.join(args.workdir, "result.json"), "w") as f:
+        json.dump({"verdict": verdict, "results": results}, f)
+    print(f"[e2e] {verdict} (report: {args.report})", flush=True)
+
+
+if __name__ == "__main__":
+    main()

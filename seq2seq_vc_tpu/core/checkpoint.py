@@ -108,13 +108,13 @@ def _save_orbax(
 def _abstract_like(tree: Any) -> Any:
     """ShapeDtypeStruct pytree carrying the template's shardings — orbax
     restores each array directly into that placement (no host gather)."""
-    import jax.numpy as jnp
-
     def conv(x):
         if isinstance(x, jax.Array):
             return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
+        # host-numpy leaves (e.g. float64 stats in opt_state) restore at the
+        # template's own dtype — no silent f64 -> f32 downgrade
         x = np.asarray(x)
-        return jax.ShapeDtypeStruct(x.shape, x.dtype if x.dtype != np.float64 else jnp.float32)
+        return jax.ShapeDtypeStruct(x.shape, x.dtype)
 
     return jax.tree_util.tree_map(conv, tree)
 

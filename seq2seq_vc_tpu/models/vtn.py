@@ -7,10 +7,11 @@ integration, guided-attention outputs.
 
 TPU-first redesign of inference (reference ``vtn.py:302-394`` decodes one
 python-loop step at a time, recomputing each layer over the whole prefix):
-here decoding is a single jitted ``lax.while_loop`` over a static maximum
-length with per-layer fixed-size KV caches, batched, with per-item stop
-thresholds / min/max length ratios and early exit when every item in the
-batch has finished.
+here decoding is a single jitted ``lax.scan`` over a static maximum length
+(scan, not while_loop: large-carry while_loops hang on the axon TPU
+runtime — see CLAUDE.md rule 3) with per-layer fixed-size KV caches,
+batched, with per-item stop thresholds / min/max length ratios; host-side
+early exit across scan chunks is provided by ``models/ar_driver.py``.
 """
 
 from __future__ import annotations

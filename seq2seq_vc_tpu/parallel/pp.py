@@ -85,15 +85,19 @@ def pipeline_apply(
         total = n_micro + n_stages - 1
         fwd = [(i, (i + 1) % n_stages) for i in range(n_stages)]
 
-        state = jnp.zeros_like(xs_local[0])
+        # Bubble ticks (warmup/drain) run layer_fn on values that are never
+        # recorded; feed REAL microbatch data there rather than zeros so a
+        # layer_fn with a non-finite derivative at degenerate inputs
+        # (eps-free norm, sqrt, x/|x|) cannot inject NaN cotangents through
+        # the 0 * NaN = NaN VJP path.
+        state = xs_local[0]
         outputs = jnp.zeros_like(xs_local)
 
         def tick(carry, t):
             state, outputs = carry
-            # stage 0 ingests microbatch t (bubble ticks feed zeros, which
-            # are computed but never recorded)
+            # stage 0 ingests microbatch t (clamped re-reads during drain
+            # ticks are computed but never recorded)
             feed = xs_local[jnp.minimum(t, n_micro - 1)]
-            feed = jnp.where(t < n_micro, feed, jnp.zeros_like(feed))
             state = jnp.where(idx == 0, feed, state)
             y = _stage_block(local_params, state)
             # last stage records microbatch t-(n_stages-1)

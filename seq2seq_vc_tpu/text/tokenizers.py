@@ -1,10 +1,11 @@
 """Tokenizers (reference ``text/{abs,char,word,phoneme}_tokenizer.py``).
 
-Char and word tokenizers are complete; the phoneme tokenizer supports any
-installed g2p backend by name and raises a clear error for backends whose
-packages (g2p_en, pyopenjtalk, pypinyin, phonemizer, ...) are not in this
-image. ``build_tokenizer`` mirrors the reference factory
-(``text/build_tokenizer.py:10``).
+Char and word tokenizers are complete; the phoneme tokenizer resolves every
+reference ``g2p_type`` (g2p_en, pyopenjtalk x5, pypinyin x2, espeak x12,
+g2pk/jaso/ice-g2p — see ``g2p_backends.py``) by lazy try-import, erroring
+only when the backing package is genuinely absent. English falls back to
+the native rule-based G2P when g2p_en is missing. ``build_tokenizer``
+mirrors the reference factory (``text/build_tokenizer.py:10``).
 """
 
 from __future__ import annotations
@@ -117,14 +118,15 @@ class PhonemeTokenizer(AbsTokenizer):
                 self.g2p = lambda text: [p for p in backend(text) if p != " "]
             else:
                 self.g2p = backend
-        elif g2p_type and g2p_type.startswith("pyopenjtalk"):
-            raise ImportError("pyopenjtalk backends are not available in this image")
-        elif g2p_type and g2p_type.startswith("pypinyin"):
-            raise ImportError("pypinyin backends are not available in this image")
-        elif g2p_type and g2p_type.startswith("espeak"):
-            raise ImportError("phonemizer/espeak backends are not available in this image")
         else:
-            raise NotImplementedError(f"g2p_type={g2p_type}")
+            # every other reference g2p_type (pyopenjtalk*, pypinyin*,
+            # espeak_ng_*, g2pk*, korean_jaso*, g2p_is*) resolves by
+            # try-import in g2p_backends — ImportError only when the
+            # third-party package is genuinely absent (reference
+            # phoneme_tokenizer.py:387-519 dispatch parity)
+            from .g2p_backends import build_g2p_backend
+
+            self.g2p = build_g2p_backend(g2p_type, space_symbol=space_symbol)
 
     def text2tokens(self, line: str) -> List[str]:
         return self.g2p(line)

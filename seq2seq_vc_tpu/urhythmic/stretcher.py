@@ -61,6 +61,14 @@ class TimeStretcherGlobal:
         # torch F.interpolate(scale_factor=ratio) semantics (reference
         # stretcher.py:60-72): output size floors, and source positions are
         # computed from the GIVEN ratio, not t_in/size — parity-tested vs
-        # live torch in tests/test_urhythmic_reference_parity.py.
+        # live torch in tests/test_urhythmic_reference_parity.py. torch
+        # stores the scale as a float32 RECIPROCAL and multiplies
+        # (src = (i+0.5)*(1/ratio)-0.5 in f32); measured max diff vs torch
+        # 2e-6 with this form vs 8e-6 for f64 division.
         size = max(int(np.floor(units.shape[0] * ratio)), 1)
-        return _interp_at(units, (np.arange(size) + 0.5) / ratio - 0.5)
+        pos = (
+            (np.arange(size, dtype=np.float32) + np.float32(0.5))
+            * np.float32(1.0 / ratio)
+            - np.float32(0.5)
+        )
+        return _interp_at(units, pos)

@@ -5,9 +5,11 @@ emits features normalized by the *target-speaker* stats; the vocoder may
 have been trained with its own stats, so decode denormalizes by trg stats
 and renormalizes by vocoder stats before synthesis, and logs RTF.
 
-Backends: 'griffin_lim' (default when the config has no ``vocoder:`` block,
-reference ``bin/vc_train.py:384-394``) and 'hifigan' (JAX HiFi-GAN
-generator, ``vocoder/hifigan.py``).
+Backends dispatched here: 'griffin_lim' (default when the config has no
+``vocoder:`` block, reference ``bin/vc_train.py:384-394``), 'parallel_wavegan'
+(``vocoder/pwg.py``), 'hifigan' (``vocoder/hifigan.py``), 'encodec'
+(``vocoder/encodec_dec.py``) and 's3prl_vc' Taco2-AR feat2wav
+(``vocoder/s3prl_feat2wav.py``).
 """
 
 from __future__ import annotations

@@ -136,3 +136,52 @@ def test_letter_to_sound_never_errors(g2p):
                  "brrr", "ok", "a", "strengths"]:
         phones = letter_to_sound(word)
         assert all(p in _ARPABET for p in phones), (word, phones)
+
+
+# ------------------------------------------------------------ golden set
+def _phoneme_edit_distance(a, b):
+    d = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+    for i in range(len(a) + 1):
+        d[i][0] = i
+    for j in range(len(b) + 1):
+        d[0][j] = j
+    for i in range(1, len(a) + 1):
+        for j in range(1, len(b) + 1):
+            d[i][j] = min(
+                d[i - 1][j] + 1, d[i][j - 1] + 1,
+                d[i - 1][j - 1] + (a[i - 1] != b[j - 1]),
+            )
+    return d[-1][-1]
+
+
+def test_golden_set_accuracy(g2p):
+    """Quantify NativeEnglishG2p against a ~200-word hand-verified ARPAbet
+    golden file (tests/fixtures/g2p_golden.txt): this turns the docstring's
+    'lower accuracy on rare words' into enforced numbers. Measured at
+    commit time: exact(stressless) 0.824, PER 0.048, exact(stressed)
+    0.678 with only 7/199 golden words served by the lexicon (the rest
+    exercise the rule engine). Floors leave headroom for drift, and ratchet
+    up if the rules improve."""
+    import os
+    import re
+
+    golden_path = os.path.join(
+        os.path.dirname(__file__), "fixtures", "g2p_golden.txt"
+    )
+    strip = lambda ps: [re.sub(r"\d", "", p) for p in ps]  # noqa: E731
+    n = exact = exact_stressed = per_num = per_den = 0
+    for line in open(golden_path):
+        if line.startswith("#") or not line.strip():
+            continue
+        word, phone_str = line.rstrip("\n").split("\t")
+        gold = phone_str.split()
+        hyp = g2p.word2phones(word)
+        n += 1
+        exact += strip(hyp) == strip(gold)
+        exact_stressed += hyp == gold
+        per_num += _phoneme_edit_distance(strip(hyp), strip(gold))
+        per_den += len(gold)
+    assert n >= 190
+    assert exact / n >= 0.78, f"stressless exact-match {exact / n:.3f}"
+    assert per_num / per_den <= 0.07, f"PER {per_num / per_den:.4f}"
+    assert exact_stressed / n >= 0.60, f"stressed exact {exact_stressed / n:.3f}"

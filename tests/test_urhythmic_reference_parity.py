@@ -178,6 +178,14 @@ def test_time_stretcher_parity():
         our_out, ref_out[0].numpy().T, rtol=1e-5, atol=1e-6
     )
 
-    ref_g = ref_stretcher.TimeStretcherGlobal()(units_t, 1.37)
-    our_g = our_stretcher.TimeStretcherGlobal()(units, 1.37)
-    np.testing.assert_allclose(our_g, ref_g[0].numpy().T, rtol=1e-5, atol=1e-6)
+    # ratios chosen so floor() and round() output sizes DIVERGE
+    # (30*1.39 = 41.7: floor 41 vs round 42) and a downsampling ratio,
+    # locking the torch F.interpolate size/position semantics exactly
+    for ratio in (1.37, 1.39, 0.6, 0.97):
+        ref_g = ref_stretcher.TimeStretcherGlobal()(units_t, ratio)
+        our_g = our_stretcher.TimeStretcherGlobal()(units, ratio)
+        assert our_g.shape[0] == ref_g.shape[2], f"size mismatch at ratio {ratio}"
+        np.testing.assert_allclose(
+            our_g, ref_g[0].numpy().T, rtol=1e-5, atol=1e-6,
+            err_msg=f"ratio {ratio}",
+        )
