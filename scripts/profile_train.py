@@ -47,7 +47,10 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--frames", type=int, default=512)
     ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
-    ap.add_argument("--attn", default="xla", choices=["xla", "flash"])
+    ap.add_argument(
+        "--attn", default="xla", choices=["xla", "flash", "fused"]
+    )  # fused = Pallas fused rel-scores (ops/rel_scores.py); pair with
+    # S2S_REL_SCORES_BWD=xla|pallas for the backward-variant A/B
     ap.add_argument("--trace", default=None, help="jax.profiler trace output dir")
     ap.add_argument("--remat", action="store_true", help="checkpoint conformer layers")
     ap.add_argument("--prng", default=None, choices=[None, "rbg", "threefry2x32"])

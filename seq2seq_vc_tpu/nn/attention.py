@@ -39,6 +39,12 @@ FLASH_MIN_LEN = int(
 )
 FLASH_TRAIN_MIN_LEN = FLASH_MIN_LEN  # back-compat alias
 
+# backward variant for the fused rel-scores kernel (attention_backend:
+# fused): 'pallas' never materializes the (T, 2T-1) band cotangent, 'xla'
+# rebuilds it once (the dense backward's traffic) — see ops/rel_scores.py
+# and scripts/bench_relpos.py for the A/B
+REL_SCORES_BWD = _os.environ.get("S2S_REL_SCORES_BWD", "pallas")
+
 
 def _split_heads(x: jnp.ndarray, n_head: int) -> jnp.ndarray:
     b, t, d = x.shape
@@ -182,7 +188,10 @@ class RelPositionMultiHeadedAttention(nn.Module):
     dropout_rate: float = 0.0
     zero_triu: bool = False
     legacy: bool = False
-    backend: str = "xla"  # 'flash' uses the Pallas rel-pos kernel
+    # 'xla' (dense), 'fused' (Pallas fused-scores kernel: dense softmax/AV
+    # but the (T, 2T-1) band never materializes — ops/rel_scores.py), or
+    # 'flash' (full flash kernel at T >= flash_train_min_len)
+    backend: str = "xla"
     dtype: Any = None  # computation dtype; scores/softmax stay fp32
     flash_train_min_len: int = FLASH_MIN_LEN  # see FLASH_MIN_LEN (both modes)
     # sequence parallelism: when a mesh is given, the attention runs as a
@@ -316,14 +325,35 @@ class RelPositionMultiHeadedAttention(nn.Module):
             return nn.Dense(self.n_feat, dtype=self.dtype, name="linear_out")(
                 _merge_heads(out)
             )
-        matrix_ac = jnp.einsum("bhqd,bhkd->bhqk", q_u, k, preferred_element_type=jnp.float32)
-        matrix_bd = jnp.einsum("bhqd,bhpd->bhqp", q_v, p, preferred_element_type=jnp.float32)
-        matrix_bd = rel_shift(matrix_bd, legacy=self.legacy)
-        if self.zero_triu:
-            tri = jnp.tril(jnp.ones(matrix_bd.shape[-2:], matrix_bd.dtype))
-            matrix_bd = matrix_bd * tri[None, None]
+        if (
+            self.backend == "fused"
+            and not self.legacy
+            and not self.zero_triu
+            and key.shape[1] == query.shape[1]
+            and pos_emb.shape[1] == 2 * query.shape[1] - 1
+        ):
+            # fused-scores path: the (B, H, T, 2T-1) matrix_bd of the dense
+            # branch below never materializes (ops/rel_scores.py); the
+            # mask/softmax/dropout/AV pipeline after it is shared, so
+            # training semantics are identical up to fp reassociation
+            from ..ops.rel_scores import fused_rel_scores
 
-        scores = (matrix_ac + matrix_bd) / jnp.sqrt(jnp.asarray(d_k, jnp.float32))
+            scores = fused_rel_scores(q_u, q_v, k, p[0], bwd=REL_SCORES_BWD)
+        else:
+            matrix_ac = jnp.einsum(
+                "bhqd,bhkd->bhqk", q_u, k, preferred_element_type=jnp.float32
+            )
+            matrix_bd = jnp.einsum(
+                "bhqd,bhpd->bhqp", q_v, p, preferred_element_type=jnp.float32
+            )
+            matrix_bd = rel_shift(matrix_bd, legacy=self.legacy)
+            if self.zero_triu:
+                tri = jnp.tril(jnp.ones(matrix_bd.shape[-2:], matrix_bd.dtype))
+                matrix_bd = matrix_bd * tri[None, None]
+
+            scores = (matrix_ac + matrix_bd) / jnp.sqrt(
+                jnp.asarray(d_k, jnp.float32)
+            )
         m = _expand_mask(mask)
         if m is not None:
             scores = jnp.where(m, scores, -1e9)

@@ -1,0 +1,356 @@
+"""Fused relative-position attention SCORES (Pallas, new-style rel-pos).
+
+The middle path between the dense XLA rel-pos attention and the full flash
+kernel: compute ``scores = (q_u k^T + rel_shift(q_v p^T)) / sqrt(d)`` in one
+blocked Pallas pass that skews each (b, 2b) band tile in-register — the
+(B, H, T, 2T-1) ``matrix_bd`` of the dense path (reference
+``modules/transformer/attention.py:237-260``) never materializes in HBM —
+while still RETURNING the O(T^2) score matrix so XLA's fused
+softmax/dropout/AV pipeline (and its stored-probabilities backward) is kept
+as-is. Unlike the flash kernels there is no FA2 recompute in the backward,
+so this wins exactly where flash loses: bandwidth-bound TRAINING at
+moderate T, where the step pays for streaming the band tensor but not for
+extra FLOPs (see CLAUDE.md round-3/4 measured facts).
+
+Backward (custom VJP): ``dq_u``/``dk`` are plain XLA matmuls on the score
+cotangent; the band-side grads reuse the flash kernels' reversed-band
+machinery (``_block_rel_unshift_flipped``) — ``dq_v`` via a blocked kernel
+against the row-reversed table, ``dpos`` via the diagonal-reduction grid —
+so the (T, 2T-1) cotangent never materializes either. ``bwd='xla'``
+instead rebuilds the band cotangent once in XLA (the inverse rel_shift),
+which matches the dense backward's traffic; both are exposed for A/B
+benchmarking (scripts/bench_relpos.py).
+
+New-style rel-pos only (AASVC/FS2/TTS conformer stacks — the hot path);
+the legacy style (VTN) keeps the dense implementation.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .flash_attention import (
+    _block_rel_unshift_flipped,
+    _rel_scores,
+    _round_up,
+)
+
+
+def _fwd_kernel(qu_ref, qv_ref, k_ref, plo_ref, phi_ref, s_ref, *, block, scale):
+    s, _ = _rel_scores(
+        qu_ref[0], qv_ref[0], k_ref[0], plo_ref[0], phi_ref[0],
+        block=block, scale=scale,
+    )
+    s_ref[0] = s
+
+
+def _dqv_kernel(g_ref, rlo_ref, rhi_ref, dqv_ref, dqv_scr, *, block, scale):
+    ki = pl.program_id(2)
+    n_kv = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _():
+        dqv_scr[:] = jnp.zeros_like(dqv_scr)
+
+    y = _block_rel_unshift_flipped(g_ref[0] * scale, block)  # (b, 2b) rev band
+    p2_rev = jnp.concatenate([rlo_ref[0], rhi_ref[0]], axis=0)  # (2b, qw)
+    dqv_scr[:] += jax.lax.dot_general(
+        y, p2_rev, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(ki == n_kv - 1)
+    def _():
+        dqv_ref[0] = dqv_scr[:].astype(dqv_ref.dtype)
+
+
+def _dtab_kernel(
+    g_a_ref, g_b_ref, qv_ref, dtab_ref, acc_scr,
+    *, block, scale, n_batch, n_kv,
+):
+    """Reversed-table gradient, reduced along band diagonals.
+
+    Same output geometry as ``_rel_bwd_dpos_kernel`` (flash_attention.py)
+    but the score cotangent ``g`` arrives precomputed instead of being
+    recomputed from the softmax: rev-table block ``rho`` accumulates
+    ``unshift(g)^T qv`` rows [0:b) from pair A (ki = qi + n_kv - 1 - rho)
+    and rows [b:2b) from pair B (ki = qi + n_kv - rho).
+    """
+    rho = pl.program_id(1)
+    bi = pl.program_id(2)
+    qi = pl.program_id(3)
+    n_q = pl.num_programs(3)
+
+    @pl.when((bi == 0) & (qi == 0))
+    def _():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    b = block
+    ki_a = qi + n_kv - 1 - rho
+    ki_b = qi + n_kv - rho
+
+    @pl.when((ki_a >= 0) & (ki_a < n_kv))
+    def _():
+        y = _block_rel_unshift_flipped(g_a_ref[0] * scale, b)
+        c = jax.lax.dot_general(
+            y, qv_ref[0], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (2b, qw) rows in rev-table order
+        acc_scr[:] += c[:b]
+
+    @pl.when((ki_b >= 0) & (ki_b < n_kv))
+    def _():
+        y = _block_rel_unshift_flipped(g_b_ref[0] * scale, b)
+        c = jax.lax.dot_general(
+            y, qv_ref[0], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scr[:] += c[b:]
+
+    @pl.when((bi == n_batch - 1) & (qi == n_q - 1))
+    def _():
+        dtab_ref[0] = acc_scr[:].astype(dtab_ref.dtype)
+
+
+def _rel_unshift_xla(g: jnp.ndarray, scale: float) -> jnp.ndarray:
+    """Transpose of the new-style ``rel_shift``: (.., T, T) -> (.., T, 2T-1).
+
+    Exactly the dense backward's band-cotangent reconstruction (the linear
+    transpose of pad/reshape/slice), materialized once for the two
+    table-side matmuls of the 'xla' backward variant.
+    """
+    *lead, t, _ = g.shape
+    n = 2 * t - 1
+    g2 = jnp.pad(g * scale, [(0, 0)] * len(lead) + [(0, 0), (0, n - t)])
+    g2 = g2.reshape(*lead, n, t)
+    g2 = jnp.pad(g2, [(0, 0)] * len(lead) + [(1, 0), (0, 0)])
+    g2 = g2.reshape(*lead, t, n + 1)
+    return g2[..., 1:]
+
+
+@functools.lru_cache(maxsize=None)
+def _scores_core(n_heads, block, scale, interpret, bwd):
+    b = block
+
+    def fwd_impl(qu, qv, k, table):
+        bhn, t_pad, d_pad = qu.shape
+        qw = table.shape[-1]
+        n_blk = t_pad // b
+        grid = (bhn, n_blk, n_blk)
+        return pl.pallas_call(
+            functools.partial(_fwd_kernel, block=b, scale=scale),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, b, d_pad), lambda bh, qi, ki: (bh, qi, 0)),
+                pl.BlockSpec((1, b, qw), lambda bh, qi, ki: (bh, qi, 0)),
+                pl.BlockSpec((1, b, d_pad), lambda bh, qi, ki: (bh, ki, 0)),
+                pl.BlockSpec(
+                    (1, b, qw),
+                    lambda bh, qi, ki, nb=n_blk, H=n_heads: (
+                        bh % H, 2 * nb - qi + ki - 1, 0
+                    ),
+                ),
+                pl.BlockSpec(
+                    (1, b, qw),
+                    lambda bh, qi, ki, nb=n_blk, H=n_heads: (
+                        bh % H, 2 * nb - qi + ki, 0
+                    ),
+                ),
+            ],
+            out_specs=pl.BlockSpec((1, b, b), lambda bh, qi, ki: (bh, qi, ki)),
+            out_shape=jax.ShapeDtypeStruct((bhn, t_pad, t_pad), jnp.float32),
+            interpret=interpret,
+        )(qu, qv, k, table, table)
+
+    @jax.custom_vjp
+    def core(qu, qv, k, table):
+        return fwd_impl(qu, qv, k, table)
+
+    def core_fwd(qu, qv, k, table):
+        return fwd_impl(qu, qv, k, table), (qu, qv, k, table)
+
+    def core_bwd(res, g):
+        qu, qv, k, table = res
+        bhn, t_pad, d_pad = qu.shape
+        qw = table.shape[-1]
+        n_blk = t_pad // b
+        n_batch = bhn // n_heads
+        n_tab = table.shape[1] // b
+        g = g.astype(jnp.float32)
+
+        # score-side grads: plain batched matmuls on g — XLA is optimal here
+        dqu = (
+            jax.lax.dot_general(
+                g, k, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            * scale
+        ).astype(qu.dtype)
+        dk = (
+            jax.lax.dot_general(
+                g, qu, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            * scale
+        ).astype(k.dtype)
+
+        if bwd == "xla":
+            # rebuild the padded (t_pad, 2*t_pad - 1) band cotangent once
+            # (the dense backward's traffic), then two table contractions.
+            # Padded band column j <-> table row t_pad + j (derivation in
+            # fused_rel_scores' table-layout comment).
+            d_raw = _rel_unshift_xla(g, scale)  # (bhn, t_pad, 2*t_pad - 1)
+            n = d_raw.shape[-1]
+            tab_rows = jax.lax.dynamic_slice_in_dim(table, t_pad, n, axis=1)
+            d_raw4 = d_raw.reshape(n_batch, n_heads, t_pad, n)
+            dqv = jnp.einsum(
+                "bhqn,hnw->bhqw", d_raw4, tab_rows,
+                preferred_element_type=jnp.float32,
+            ).reshape(bhn, t_pad, qw).astype(qv.dtype)
+            dtab_rows = jnp.einsum(
+                "bhqn,bhqw->hnw",
+                d_raw4,
+                qv.reshape(n_batch, n_heads, t_pad, qw),
+                preferred_element_type=jnp.float32,
+            )
+            dtable = jnp.zeros_like(table)
+            dtable = jax.lax.dynamic_update_slice(
+                dtable, dtab_rows.astype(table.dtype), (0, t_pad, 0)
+            )
+            return dqu, dqv, dk, dtable
+
+        table_rev = table[:, ::-1, :]
+        dqv = pl.pallas_call(
+            functools.partial(_dqv_kernel, block=b, scale=scale),
+            grid=(bhn, n_blk, n_blk),
+            in_specs=[
+                pl.BlockSpec((1, b, b), lambda bh, qi, ki: (bh, qi, ki)),
+                # reversed-table blocks: lo_rev = n_tab - 2 - lo
+                pl.BlockSpec(
+                    (1, b, qw),
+                    lambda bh, qi, ki, nb=n_blk, H=n_heads: (
+                        bh % H, nb - 1 + qi - ki, 0
+                    ),
+                ),
+                pl.BlockSpec(
+                    (1, b, qw),
+                    lambda bh, qi, ki, nb=n_blk, H=n_heads: (
+                        bh % H, nb + qi - ki, 0
+                    ),
+                ),
+            ],
+            out_specs=pl.BlockSpec((1, b, qw), lambda bh, qi, ki: (bh, qi, 0)),
+            out_shape=jax.ShapeDtypeStruct((bhn, t_pad, qw), qv.dtype),
+            scratch_shapes=[pltpu.VMEM((b, qw), jnp.float32)],
+            interpret=interpret,
+        )(g, table_rev, table_rev)
+
+        def gspec(off):
+            # g block for pair A (off=-1: ki = qi + nb - 1 - rho) / B
+            # (off=0); out-of-range diagonals are clipped — the pl.when
+            # guards in the kernel skip their contribution.
+            def imap(h, rho, bi, qi, H=n_heads, nb=n_blk, off=off):
+                return (
+                    bi * H + h, qi, jnp.clip(qi + nb + off - rho, 0, nb - 1)
+                )
+            return pl.BlockSpec((1, b, b), imap)
+
+        dtable_rev = pl.pallas_call(
+            functools.partial(
+                _dtab_kernel, block=b, scale=scale,
+                n_batch=n_batch, n_kv=n_blk,
+            ),
+            grid=(n_heads, n_tab, n_batch, n_blk),
+            in_specs=[
+                gspec(-1),
+                gspec(0),
+                pl.BlockSpec(
+                    (1, b, qw),
+                    lambda h, rho, bi, qi, H=n_heads: (bi * H + h, qi, 0),
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, b, qw), lambda h, rho, bi, qi: (h, rho, 0)
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (n_heads, n_tab * b, qw), table.dtype
+            ),
+            scratch_shapes=[pltpu.VMEM((b, qw), jnp.float32)],
+            interpret=interpret,
+        )(g, g, qv)
+        return dqu, dqv, dk, dtable_rev[:, ::-1, :]
+
+    core.defvjp(core_fwd, core_bwd)
+    return core
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block", "interpret", "bwd")
+)
+def fused_rel_scores(
+    q_u: jnp.ndarray,
+    q_v: jnp.ndarray,
+    k: jnp.ndarray,
+    pos: jnp.ndarray,
+    block: int = 128,
+    interpret: Optional[bool] = None,
+    bwd: str = "pallas",
+) -> jnp.ndarray:
+    """Scaled new-style rel-pos attention scores, band never materialized.
+
+    Args:
+        q_u, q_v: (B, H, T, D) queries with pos_bias_u / pos_bias_v added.
+        k: (B, H, T, D) keys.
+        pos: (H, 2T-1, D) head-split projected rel-pos table
+            (RelPositionalEncoding row order: row p <-> distance T-1-p).
+        block: tile size (T is padded up to a multiple).
+        interpret: run in interpreter mode (None = auto: real kernel on
+            TPU, interpreter elsewhere so tests run on CPU).
+        bwd: 'pallas' (band cotangent never materialized) or 'xla'
+            (rebuild it once — the dense backward's traffic) for A/B.
+    Returns:
+        (B, H, T, T) fp32 scores, already scaled by 1/sqrt(D). Rows/cols
+        beyond valid lengths are garbage — callers apply their padding
+        mask before the softmax exactly as with the dense path.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    B, H, T, D = q_u.shape
+    scale = 1.0 / math.sqrt(D)
+
+    b = block
+    d_pad = _round_up(D, 128)
+    t_pad = _round_up(T, b)
+    n_blk = t_pad // b
+
+    def padq(x):
+        return jnp.pad(
+            x, ((0, 0), (0, 0), (0, t_pad - T), (0, d_pad - D))
+        ).reshape(B * H, t_pad, d_pad)
+
+    qu, qv, kp = padq(q_u), padq(q_v), padq(k)
+
+    # Table layout (same as rel_flash_attention): row r <-> relative
+    # distance d = 2*t_pad - 1 - r (descending), so pos row p (distance
+    # T-1-p) lands at r = 2*t_pad - T + p. For q, k in the PADDED
+    # coordinate space the band column j = k - q + t_pad - 1 of the padded
+    # (t_pad, 2*t_pad - 1) product reads distance d = k - q at row
+    # r = 2*t_pad - 1 - d = t_pad + j... i.e. padded band col j <-> table
+    # row t_pad + j, which the 'xla' backward uses directly.
+    L = 3 * n_blk * b
+    table = jnp.zeros((H, L, d_pad), pos.dtype)
+    table = jax.lax.dynamic_update_slice(
+        table,
+        jnp.pad(pos, ((0, 0), (0, 0), (0, d_pad - D))),
+        (0, 2 * t_pad - T, 0),
+    )
+
+    core = _scores_core(H, b, scale, interpret, bwd)
+    s = core(qu, qv, kp, table)
+    return s.reshape(B, H, t_pad, t_pad)[:, :, :T, :T]

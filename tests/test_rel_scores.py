@@ -1,0 +1,101 @@
+"""Fused rel-pos scores kernel (ops/rel_scores.py) vs the dense path.
+
+The fused path must compute the exact dense new-style rel-pos scores
+(reference ``modules/transformer/attention.py:209-260`` semantics, already
+parity-proven for the dense implementation in test_reference_parity.py)
+and their gradients, for both backward variants, including non-block-
+aligned T and the bound module with a padding mask.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from seq2seq_vc_tpu.nn.attention import (
+    RelPositionMultiHeadedAttention,
+    rel_shift,
+)
+from seq2seq_vc_tpu.nn.positional_encoding import RelPositionalEncoding
+from seq2seq_vc_tpu.ops.rel_scores import fused_rel_scores
+
+
+def _dense_scores(qu, qv, k, pos):
+    d = qu.shape[-1]
+    ac = jnp.einsum("bhqd,bhkd->bhqk", qu, k)
+    bd = rel_shift(jnp.einsum("bhqd,hpd->bhqp", qv, pos))
+    return (ac + bd) / jnp.sqrt(jnp.float32(d))
+
+
+@pytest.mark.parametrize("bwd", ["xla", "pallas"])
+@pytest.mark.parametrize("T", [32, 40])  # 40: T % block != 0 (pad path)
+def test_fused_scores_match_dense(bwd, T):
+    B, H, D, block = 2, 2, 24, 16
+    ks = jax.random.split(jax.random.PRNGKey(0), 5)
+    qu = jax.random.normal(ks[0], (B, H, T, D))
+    qv = jax.random.normal(ks[1], (B, H, T, D))
+    k = jax.random.normal(ks[2], (B, H, T, D))
+    pos = jax.random.normal(ks[3], (H, 2 * T - 1, D))
+    g = jax.random.normal(ks[4], (B, H, T, T))
+
+    s_d = _dense_scores(qu, qv, k, pos)
+    s_f = fused_rel_scores(qu, qv, k, pos, block=block, bwd=bwd)
+    np.testing.assert_allclose(s_f, s_d, atol=2e-5)
+
+    gd = jax.grad(lambda *a: (_dense_scores(*a) * g).sum(), argnums=(0, 1, 2, 3))(
+        qu, qv, k, pos
+    )
+    gf = jax.grad(
+        lambda *a: (fused_rel_scores(*a, block=block, bwd=bwd) * g).sum(),
+        argnums=(0, 1, 2, 3),
+    )(qu, qv, k, pos)
+    for a, b in zip(gd, gf):
+        np.testing.assert_allclose(b, a, atol=5e-5)
+
+
+@pytest.mark.parametrize("bwd", ["xla", "pallas"])
+def test_module_fused_backend_matches_xla(bwd, monkeypatch):
+    import seq2seq_vc_tpu.nn.attention as attn_mod
+
+    monkeypatch.setattr(attn_mod, "REL_SCORES_BWD", bwd)
+    B, T, F, H = 3, 50, 32, 4
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, T, F))
+    pe = RelPositionalEncoding(F, 0.0)
+    _, pos = pe.apply(pe.init(jax.random.PRNGKey(0), x), x)
+    mask = jnp.arange(T)[None, :] < jnp.asarray([50, 37, 20])[:, None]
+    gout = jax.random.normal(jax.random.PRNGKey(9), (B, T, F))
+
+    m_x = RelPositionMultiHeadedAttention(H, F, backend="xla")
+    m_f = RelPositionMultiHeadedAttention(H, F, backend="fused")
+    params = m_x.init(jax.random.PRNGKey(2), x, x, x, pos, mask)
+
+    def run(m):
+        return jax.value_and_grad(
+            lambda p: (m.apply(p, x, x, x, pos, mask) * gout).sum()
+        )(params)
+
+    vx, gx = run(m_x)
+    vf, gf = run(m_f)
+    assert abs(vx - vf) < 1e-4
+    for a, b in zip(jax.tree_util.tree_leaves(gx), jax.tree_util.tree_leaves(gf)):
+        np.testing.assert_allclose(b, a, atol=1e-4)
+
+
+def test_fused_backend_falls_back_for_legacy_and_zero_triu():
+    """legacy / zero_triu / cross-length calls must take the dense branch
+    (the fused kernel is new-style self-attention only) — and still give
+    the same result as backend='xla'."""
+    B, T, F, H = 2, 20, 16, 2
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, T, F))
+    pe = RelPositionalEncoding(F, 0.0)
+    _, pos = pe.apply(pe.init(jax.random.PRNGKey(0), x), x)
+
+    for kwargs in (dict(zero_triu=True),):
+        m_x = RelPositionMultiHeadedAttention(H, F, backend="xla", **kwargs)
+        m_f = RelPositionMultiHeadedAttention(H, F, backend="fused", **kwargs)
+        params = m_x.init(jax.random.PRNGKey(2), x, x, x, pos)
+        np.testing.assert_allclose(
+            m_f.apply(params, x, x, x, pos),
+            m_x.apply(params, x, x, x, pos),
+            atol=1e-6,
+        )
