@@ -171,19 +171,33 @@ def main():
     # must keep the padded time axes divisible by it.
     tp = int(config.get("tensor_parallel", 1) or 1)
     sp = int(config.get("sequence_parallel", 1) or 1)
+    pp = int(config.get("pipeline_parallel", 1) or 1)
     # tp+sp composition is safe: nn/conv.py swaps the k>1 conv backward to
     # partitioner-safe dense contractions whenever the model's sp_mesh
     # composes both axes (the stock conv kernel-grad lowering over-reduces
     # by the idle/model axis — scripts/repro_tp_sp.py).
+    # pipeline_parallel composes with DATA parallelism only (GPipe stages
+    # run inside a shard_map whose unmentioned axes would over-count param
+    # grads — parallel/pp.pipeline_module_stack's gradient note).
+    if pp > 1 and (tp > 1 or sp > 1):
+        raise ValueError(
+            "pipeline_parallel composes with data parallelism only; set "
+            "tensor_parallel/sequence_parallel to 1"
+        )
     mesh = None
-    if len(jax.devices()) > 1 or tp > 1 or sp > 1:
-        mesh = get_mesh(model=tp, seq=sp)
+    if len(jax.devices()) > 1 or tp > 1 or sp > 1 or pp > 1:
+        mesh = get_mesh(model=tp, seq=sp, pipe=pp)
 
     # model
     model_class = get_model_class(config["model_type"])
     model_kwargs = dict(config["model_params"])
     if sp > 1:
         model_kwargs["sp_mesh"] = mesh
+    if pp > 1:
+        model_kwargs["pipe_mesh"] = mesh
+        model_kwargs["pipe_microbatches"] = int(
+            config.get("pipeline_microbatches", 0) or 0
+        )
     model = model_class(**model_kwargs)
 
     # criterions
@@ -240,6 +254,11 @@ def main():
         logging.info("tensor parallelism: model axis = %d", tp)
     if sp > 1:
         logging.info("sequence parallelism: seq axis = %d", sp)
+    if pp > 1:
+        logging.info(
+            "pipeline parallelism: pipe axis = %d (%d microbatches)",
+            pp, int(config.get("pipeline_microbatches", 0) or pp),
+        )
     state = TrainState.create(params, tx)
 
     trainer_class = get_trainer_class(config.get("trainer_type", "ARVCTrainer"))

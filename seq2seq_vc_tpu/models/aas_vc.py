@@ -142,6 +142,12 @@ class AASVC(nn.Module):
     # config key; targets the Hi-Fi-CAPTAIN 48 kHz OOM scenario)
     sp_mesh: Any = None
     sp_axis: str = "seq"
+    # pipeline parallelism: mesh whose 'pipe' axis GPipe-shards the
+    # conformer layer stacks (set by vc_train from the pipeline_parallel
+    # config key); composes with data parallelism only — see
+    # parallel/pp.pipeline_module_stack
+    pipe_mesh: Any = None
+    pipe_microbatches: int = 0
 
     @property
     def _dtype(self):
@@ -180,6 +186,8 @@ class AASVC(nn.Module):
             remat=self.remat_layers,
             sp_mesh=self.sp_mesh,
             sp_axis=self.sp_axis,
+            pipe_mesh=self.pipe_mesh,
+            pipe_microbatches=self.pipe_microbatches,
         )
         if self.spk_embed_dim is not None:
             self.projection = nn.Dense(self.adim)
@@ -259,6 +267,8 @@ class AASVC(nn.Module):
                 remat=self.remat_layers,
                 sp_mesh=self.sp_mesh,
                 sp_axis=self.sp_axis,
+                pipe_mesh=self.pipe_mesh,
+                pipe_microbatches=self.pipe_microbatches,
             )
         if self.decoder_type == "conformer":
             self.feat_out = nn.Dense(self.odim * self.decoder_reduction_factor)

@@ -92,6 +92,12 @@ class FastSpeechVC(nn.Module):
     # config key) — conformer encoder/decoder only
     sp_mesh: Any = None
     sp_axis: str = "seq"
+    # pipeline parallelism: mesh whose 'pipe' axis GPipe-shards the
+    # conformer layer stacks (set by vc_train from the pipeline_parallel
+    # config key); composes with data parallelism only — see
+    # parallel/pp.pipeline_module_stack
+    pipe_mesh: Any = None
+    pipe_microbatches: int = 0
 
     def setup(self):
         if self.sp_mesh is not None and (
@@ -141,6 +147,8 @@ class FastSpeechVC(nn.Module):
                 attention_backend=self.attention_backend,
                 sp_mesh=self.sp_mesh,
                 sp_axis=self.sp_axis,
+                pipe_mesh=self.pipe_mesh,
+                pipe_microbatches=self.pipe_microbatches,
             )
         else:
             raise NotImplementedError(self.encoder_type)
@@ -197,6 +205,8 @@ class FastSpeechVC(nn.Module):
                 attention_backend=self.attention_backend,
                 sp_mesh=self.sp_mesh,
                 sp_axis=self.sp_axis,
+                pipe_mesh=self.pipe_mesh,
+                pipe_microbatches=self.pipe_microbatches,
             )
         else:
             raise NotImplementedError(self.decoder_type)

@@ -261,6 +261,14 @@ class ConformerEncoder(nn.Module):
     # layers so the whole stack partitions over time
     sp_mesh: Any = None
     sp_axis: str = "seq"
+    # pipeline parallelism: GPipe the layer stack over this mesh's
+    # pipe_axis (parallel/pp.pipeline_module_stack), composed with data
+    # parallelism over its data axis. num_blocks must divide by the pipe
+    # size and the batch by pipe_microbatches. Mutually exclusive with
+    # sp_mesh/remat (enforced below); init always runs the serial stack.
+    pipe_mesh: Any = None
+    pipe_axis: str = "pipe"
+    pipe_microbatches: int = 0  # 0 -> the pipe-axis size
 
     @property
     def conv_subsampling_factor(self) -> int:
@@ -353,12 +361,72 @@ class ConformerEncoder(nn.Module):
                 self.sp_mesh, P("data", self.sp_axis, None)
             )
             xs = jax.lax.with_sharding_constraint(xs, sp_constraint)
-        for layer in self.layers:
-            # positional args: under remat, `deterministic` (argnum 4) is a
-            # static argument of the checkpointed call
-            xs = layer(xs, attn_mask, pos_emb, deterministic)
-            if sp_constraint is not None:
-                xs = jax.lax.with_sharding_constraint(xs, sp_constraint)
+        pipe_n = (
+            dict(self.pipe_mesh.shape).get(self.pipe_axis, 1)
+            if self.pipe_mesh is not None
+            else 1
+        )
+        if pipe_n > 1 and not self.is_initializing():
+            if self.sp_mesh is not None or self.remat:
+                raise ValueError(
+                    "pipe_mesh is mutually exclusive with sp_mesh/remat"
+                )
+            xs = self._pipelined_stack(
+                xs, masks, pos_emb, deterministic, pipe_n
+            )
+        else:
+            for layer in self.layers:
+                # positional args: under remat, `deterministic` (argnum 4)
+                # is a static argument of the checkpointed call
+                xs = layer(xs, attn_mask, pos_emb, deterministic)
+                if sp_constraint is not None:
+                    xs = jax.lax.with_sharding_constraint(xs, sp_constraint)
         if self.normalize_before:
             xs = self.after_norm(xs)
         return xs.astype(jnp.float32), masks
+
+    def _pipelined_stack(self, xs, masks, pos_emb, deterministic, pipe_n):
+        """Run the layer stack GPipe-pipelined over ``pipe_mesh``.
+
+        The per-layer params already exist under this module (the serial
+        branch creates them at init), so they are collected from the bound
+        children, stacked, and stage-sharded by
+        ``parallel/pp.pipeline_module_stack``; one unbound layer clone
+        replays them. Dropout keys are folded from (layer_idx, microbatch)
+        so every layer x microbatch draw is independent.
+        """
+        from ..parallel.pp import pipeline_module_stack
+
+        n_micro = self.pipe_microbatches or pipe_n
+        tmpl = self.layers[0].clone(parent=None)
+        layer_params = [lyr.variables["params"] for lyr in self.layers]
+        bc = {"pos_emb": () if pos_emb is None else pos_emb}
+        if not deterministic:
+            bc["seed"] = jax.random.randint(
+                self.make_rng("dropout"), (1,), 0, 2**31 - 1, dtype=jnp.int32
+            )
+
+        def apply_fn(p, x, mask_mb, bc_in, mb_idx, layer_idx):
+            attn = None if isinstance(mask_mb, tuple) else mask_mb[:, None, :]
+            pe = None if isinstance(bc_in["pos_emb"], tuple) else bc_in["pos_emb"]
+            rngs = None
+            if "seed" in bc_in:
+                key = jax.random.fold_in(
+                    jax.random.fold_in(
+                        jax.random.PRNGKey(bc_in["seed"][0]), layer_idx
+                    ),
+                    mb_idx,
+                )
+                rngs = {"dropout": key}
+            return tmpl.apply({"params": p}, x, attn, pe, deterministic, rngs=rngs)
+
+        return pipeline_module_stack(
+            apply_fn,
+            layer_params,
+            xs,
+            extras=masks,
+            bcast=bc,
+            mesh=self.pipe_mesh,
+            n_micro=n_micro,
+            axis_name=self.pipe_axis,
+        )

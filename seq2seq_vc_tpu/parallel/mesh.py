@@ -29,25 +29,28 @@ def get_mesh(
     data: Optional[int] = None,
     model: int = 1,
     seq: int = 1,
+    pipe: int = 1,
     devices: Optional[Sequence[Any]] = None,
 ) -> Mesh:
-    """Build a ``(data, model, seq)`` mesh over the available devices.
+    """Build a ``(data, model, seq, pipe)`` mesh over the available devices.
 
     Args:
-        data: Size of the data axis. Defaults to ``n_devices // (model*seq)``.
+        data: Size of the data axis. Defaults to
+            ``n_devices // (model*seq*pipe)``.
         model: Size of the model (tensor-parallel) axis.
         seq: Size of the sequence-parallel axis (ring attention).
+        pipe: Size of the pipeline-parallel axis (GPipe layer stages).
         devices: Devices to use. Defaults to ``jax.devices()``.
     """
     if devices is None:
         devices = jax.devices()
     n = len(devices)
     if data is None:
-        data = n // (model * seq)
-    if data * model * seq != n:
-        raise ValueError(f"mesh {data}x{model}x{seq} != {n} devices")
-    arr = np.asarray(devices).reshape(data, model, seq)
-    return Mesh(arr, axis_names=("data", "model", "seq"))
+        data = n // (model * seq * pipe)
+    if data * model * seq * pipe != n:
+        raise ValueError(f"mesh {data}x{model}x{seq}x{pipe} != {n} devices")
+    arr = np.asarray(devices).reshape(data, model, seq, pipe)
+    return Mesh(arr, axis_names=("data", "model", "seq", "pipe"))
 
 
 def data_sharding(mesh: Mesh) -> NamedSharding:
@@ -60,7 +63,7 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: Any, mesh: Mesh) -> Any:
+def shard_batch(batch: Any, mesh: Mesh, extra_multiple: int = 1) -> Any:
     """Place a host batch onto the mesh, batch-dim sharded over ``data``.
 
     Single host: one device_put lays the batch across all local devices.
@@ -79,10 +82,14 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
     # DistributedSampler duplicates samples the same way) — duplicated
     # rows slightly re-weight that one batch's mean loss, as there.
     data = dict(mesh.shape).get("data", 1)
+    # extra_multiple: pipeline microbatch count — the global batch must
+    # split into n_micro microbatches whose size divides the data axis
+    # (B % (n_micro * data) == 0), so partial batches pad to that product
+    mult = data * max(1, int(extra_multiple))
     leaves = jax.tree_util.tree_leaves(batch)
-    if leaves and data > 1:
+    if leaves and mult > 1:
         B = np.asarray(leaves[0]).shape[0]
-        pad = (-B) % data
+        pad = (-B) % mult
         if pad:
             idx = np.arange(B + pad) % B
             batch = jax.tree_util.tree_map(

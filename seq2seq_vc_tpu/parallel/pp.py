@@ -48,7 +48,8 @@ def pipeline_apply(
     *,
     mesh: Mesh,
     axis_name: str = "pipe",
-    params_in_spec: P | None = None,
+    params_in_spec: P | Any = None,
+    xs_spec: P = P(),
 ) -> jnp.ndarray:
     """Run microbatches ``xs`` through a layer stack pipelined over ``mesh``.
 
@@ -125,17 +126,161 @@ def pipeline_apply(
     pspec = params_in_spec
     if pspec is None:
         pspec = P(axis_name)
-    in_params_specs = jax.tree_util.tree_map(
-        lambda _: pspec, stacked_params
-    )
+    if isinstance(pspec, P):
+        in_params_specs = jax.tree_util.tree_map(
+            lambda _: pspec, stacked_params
+        )
+    else:
+        # a pytree of PartitionSpecs matching stacked_params — lets layer
+        # weights shard over OTHER mesh axes too (Megatron TP inside a
+        # pipelined layer_fn that psums over the model axis; see
+        # tests/test_pipeline_parallel.py composed DPxTPxPP case)
+        in_params_specs = pspec
     fn = shard_map(
         _pipelined,
         mesh=mesh,
-        in_specs=(in_params_specs, P()),
-        out_specs=P(),
+        in_specs=(in_params_specs, xs_spec),
+        out_specs=xs_spec,
         check_rep=False,
     )
     return fn(stacked_params, xs)
+
+
+def pipeline_module_stack(
+    apply_fn: Callable[..., jnp.ndarray],
+    layer_params: list,
+    x: jnp.ndarray,
+    extras: Any = None,
+    bcast: Any = None,
+    *,
+    mesh: Mesh,
+    n_micro: int,
+    axis_name: str = "pipe",
+    data_axis: str = "data",
+) -> jnp.ndarray:
+    """GPipe-pipeline a homogeneous flax layer stack over ``axis_name``,
+    composed with data parallelism over ``data_axis``.
+
+    The flax-facing variant of :func:`pipeline_apply` (used by
+    ``nn.ConformerEncoder`` when ``pipe_mesh`` is set): the batch is split
+    into ``n_micro`` microbatches that march through the layer blocks, each
+    microbatch carrying its per-example ``extras`` (attention masks)
+    through the ``ppermute`` ring alongside the activation, while ``bcast``
+    (positional tables, RNG keys) is replicated to every stage.
+
+    Args:
+        apply_fn: ``(one_layer_params, x_mb, extras_mb, bcast, mb_idx,
+            layer_idx) -> x_mb`` — applies ONE layer. ``mb_idx`` /
+            ``layer_idx`` are traced int32 scalars (for RNG folding).
+        layer_params: list of per-layer param pytrees (identical structure).
+        x: ``(B, ...)`` input; ``B`` must divide by ``n_micro``, and the
+            microbatch by the mesh's data-axis size.
+        extras: pytree of per-example arrays (leading dim ``B``) or None.
+        bcast: replicated pytree passed to every ``apply_fn`` call, or None.
+    Returns:
+        ``(B, ...)`` outputs, replicated over ``axis_name`` and sharded
+        over ``data_axis`` like the input.
+
+    Gradient note: parameter cotangents are psummed over every mesh axis
+    the shard_map leaves unmentioned; for the data axis that IS the DP
+    gradient all-reduce, but an idle model/seq axis of size > 1 would
+    over-count grads by its size (check_rep=False), so those must be 1.
+    """
+    n_stages = mesh.shape[axis_name]
+    n_layers = len(layer_params)
+    if n_layers % n_stages != 0:
+        raise ValueError(
+            f"n_layers={n_layers} not divisible by pipe={n_stages}"
+        )
+    per = n_layers // n_stages
+    for ax, sz in dict(mesh.shape).items():
+        if ax not in (axis_name, data_axis) and sz > 1:
+            raise ValueError(
+                f"pipeline_module_stack composes with '{data_axis}' only; "
+                f"mesh axis '{ax}' has size {sz} (> 1) and would "
+                "over-count parameter gradients (check_rep=False psums "
+                "cotangents over unmentioned axes)"
+            )
+    B = x.shape[0]
+    if B % n_micro != 0:
+        raise ValueError(f"batch {B} not divisible by n_micro={n_micro}")
+    stacked = stack_layer_params(layer_params)
+
+    def _split(a):
+        return a.reshape((n_micro, B // n_micro) + a.shape[1:])
+
+    xs = _split(x)
+    has_extras = extras is not None
+    exs = jax.tree_util.tree_map(_split, extras) if has_extras else ()
+    bc = bcast if bcast is not None else ()
+
+    def _pipelined(local_params, xs_local, exs_local, bc_local):
+        idx = jax.lax.axis_index(axis_name)
+        total = n_micro + n_stages - 1
+        fwd = [(i, (i + 1) % n_stages) for i in range(n_stages)]
+        layer_ids = idx * per + jnp.arange(per, dtype=jnp.int32)
+
+        def _stage_block(h, ex, mb_idx):
+            def body(carry, inp):
+                p, lid = inp
+                return apply_fn(p, carry, ex, bc_local, mb_idx, lid), None
+
+            h, _ = jax.lax.scan(body, h, (local_params, layer_ids))
+            return h
+
+        def _take(tree, t):
+            return jax.tree_util.tree_map(lambda a: a[t], tree)
+
+        state_h = xs_local[0]
+        state_ex = _take(exs_local, 0)
+        state_mi = jnp.int32(0)
+        outputs = jnp.zeros_like(xs_local)
+
+        def tick(carry, t):
+            (h, ex, mi), outputs = carry
+            # stage 0 ingests microbatch t (clamped re-reads during drain
+            # ticks run real data but are never recorded — see
+            # pipeline_apply's bubble note)
+            tc = jnp.minimum(t, n_micro - 1)
+            is0 = idx == 0
+            h = jnp.where(is0, xs_local[tc], h)
+            ex = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(is0, a, b), _take(exs_local, tc), ex
+            )
+            mi = jnp.where(is0, tc, mi)
+            y = _stage_block(h, ex, mi)
+            out_t = t - (n_stages - 1)
+            rec = jnp.logical_and(idx == n_stages - 1, out_t >= 0)
+            slot = jnp.clip(out_t, 0, n_micro - 1)
+            outputs = jnp.where(
+                rec,
+                jax.lax.dynamic_update_index_in_dim(outputs, y, slot, 0),
+                outputs,
+            )
+            nxt = jax.lax.ppermute((y, ex, mi), axis_name, fwd)
+            return (nxt, outputs), None
+
+        ((_, _, _), outputs), _ = jax.lax.scan(
+            tick, ((state_h, state_ex, state_mi), outputs), jnp.arange(total)
+        )
+        outputs = jnp.where(idx == n_stages - 1, outputs, 0.0)
+        return jax.lax.psum(outputs, axis_name)
+
+    mb_spec = P(None, data_axis)
+    fn = shard_map(
+        _pipelined,
+        mesh=mesh,
+        in_specs=(
+            jax.tree_util.tree_map(lambda _: P(axis_name), stacked),
+            mb_spec,
+            jax.tree_util.tree_map(lambda _: mb_spec, exs),
+            jax.tree_util.tree_map(lambda _: P(), bc),
+        ),
+        out_specs=mb_spec,
+        check_rep=False,
+    )
+    out = fn(stacked, xs, exs, bc)
+    return out.reshape((B,) + out.shape[2:])
 
 
 def pipeline_shard_params(stacked_params: Any, mesh: Mesh, axis_name: str = "pipe") -> Any:

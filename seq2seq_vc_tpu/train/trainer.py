@@ -71,6 +71,12 @@ class Trainer:
         # with gradient accumulation each optimizer step spans grad_accum
         # micro-batches (optax.MultiSteps applies the update on the last one).
         self.grad_accum = int(config.get("gradient_accumulate_steps", 1) or 1)
+        # pipeline parallelism: batches must split into n_micro microbatches
+        # (shard_batch pads partial batches to n_micro * data)
+        _pp = int(config.get("pipeline_parallel", 1) or 1)
+        self._pp_microbatches = (
+            int(config.get("pipeline_microbatches", 0) or _pp) if _pp > 1 else 1
+        )
         self._micro_total = self.steps * self.grad_accum
         # metrics stay on device until the log interval; fetching every step
         # would force a host sync per step and kill device/host overlap.
@@ -105,7 +111,9 @@ class Trainer:
             k: v for k, v in batch.items() if isinstance(v, np.ndarray)
         }
         if self.mesh is not None:
-            arrays = shard_batch(arrays, self.mesh)
+            arrays = shard_batch(
+                arrays, self.mesh, extra_multiple=self._pp_microbatches
+            )
         return arrays
 
     def _get_step_fn(self, flags):
