@@ -6,10 +6,12 @@ have been trained with its own stats, so decode denormalizes by trg stats
 and renormalizes by vocoder stats before synthesis, and logs RTF.
 
 Backends dispatched here: 'griffin_lim' (default when the config has no
-``vocoder:`` block, reference ``bin/vc_train.py:384-394``), 'parallel_wavegan'
-(``vocoder/pwg.py``), 'hifigan' (``vocoder/hifigan.py``), 'encodec'
-(``vocoder/encodec_dec.py``) and 's3prl_vc' Taco2-AR feat2wav
-(``vocoder/s3prl_feat2wav.py``).
+``vocoder:`` block, reference ``bin/vc_train.py:384-394``), the full
+parallel_wavegan generator family routed by the vocoder config's
+``generator_type`` — ParallelWaveGAN (``vocoder/pwg.py``), HiFi-GAN
+(``vocoder/hifigan.py``), MelGAN and StyleMelGAN (``vocoder/melgan.py``) —
+plus 'encodec' (``vocoder/encodec_dec.py``) and 's3prl_vc' Taco2-AR
+feat2wav (``vocoder/s3prl_feat2wav.py``).
 """
 
 from __future__ import annotations
@@ -106,6 +108,18 @@ def get_vocoder(config: Dict[str, Any], trg_stats=None) -> Vocoder:
             from .pwg import load_pwg_backend
 
             backend = load_pwg_backend(voc_cfg["checkpoint"], voc_cfg.get("config"))
+        elif "StyleMelGAN" in gen_type:
+            from .melgan import load_style_melgan_backend
+
+            backend = load_style_melgan_backend(
+                voc_cfg["checkpoint"], voc_cfg.get("config")
+            )
+        elif "MelGAN" in gen_type:
+            from .melgan import load_melgan_backend
+
+            backend = load_melgan_backend(
+                voc_cfg["checkpoint"], voc_cfg.get("config")
+            )
         else:
             from .hifigan import load_hifigan_backend
 
