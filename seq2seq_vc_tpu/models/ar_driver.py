@@ -137,10 +137,21 @@ class ChunkedARDecoder:
             self._post_fns[sizes_key] = fn
         return fn
 
-    def __call__(self, params, xs, ilens, key, est_steps: int = 0) -> Dict[str, Any]:
+    def __call__(
+        self, params, xs, ilens, key, est_steps: int = 0, on_chunk=None
+    ) -> Dict[str, Any]:
         """``est_steps`` > 0: expected decode step count (host heuristic,
         e.g. ``ceil(ratio * max(ilens) / r)`` for VC where output length
-        tracks input length) — sizes the first dispatch to cover it."""
+        tracks input length) — sizes the first dispatch to cover it.
+
+        ``on_chunk(chunk_idx, outs_list, state)`` is invoked right after
+        each chunk DISPATCH, before the blocking finished-flag fetch — a
+        hook for speculative downstream dispatch (the wav2wav pipeline
+        enqueues postnet+vocoder synthesis of the decoded prefix here, so
+        it computes while the host waits on the fetch round trip;
+        ``pipeline.Wav2WavARConverter``). The callback must only enqueue
+        async device work — a host sync inside it serializes the loop.
+        """
         import jax.numpy as jnp
 
         st = self._init_fn(params, xs, ilens, key)
@@ -156,6 +167,8 @@ class ChunkedARDecoder:
             probs_c.append(probs)
             att_c.append(att)
             t0 += s
+            if on_chunk is not None:
+                on_chunk(si, list(outs_c), st)
             if self.speculate:
                 # fetch the flags from BEFORE this chunk; the blocking round
                 # trip overlaps this chunk's device compute. If everything had
@@ -178,6 +191,9 @@ class ChunkedARDecoder:
             "att_ws": att_c[0] if len(att_c) == 1
             else jnp.concatenate(att_c, axis=3),
             "out_lens": self._lens_fn(params, st),
+            # number of KEPT chunks: an on_chunk pipeline dispatched at this
+            # index is the exact final sequence (dropped dead chunks excluded)
+            "n_chunks_kept": len(outs_c),
         }
 
     @property

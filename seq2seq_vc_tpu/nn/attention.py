@@ -40,10 +40,12 @@ FLASH_MIN_LEN = int(
 FLASH_TRAIN_MIN_LEN = FLASH_MIN_LEN  # back-compat alias
 
 # backward variant for the fused rel-scores kernel (attention_backend:
-# fused): 'pallas' never materializes the (T, 2T-1) band cotangent, 'xla'
-# rebuilds it once (the dense backward's traffic) — see ops/rel_scores.py
-# and scripts/bench_relpos.py for the A/B
-REL_SCORES_BWD = _os.environ.get("S2S_REL_SCORES_BWD", "pallas")
+# fused): 'xla' rebuilds the (T, 2T-1) band cotangent once (the dense
+# backward's traffic), 'pallas' never materializes it. 'xla' is the
+# default on measurement (chip, B16xT512 flagship): fused fwd + xla bwd
+# 78.2 ms/step vs 82.0 dense vs 2081(!) with the pallas bwd — the
+# diagonal-reduction dtab kernel's grid serializes. See ops/rel_scores.py.
+REL_SCORES_BWD = _os.environ.get("S2S_REL_SCORES_BWD", "xla")
 
 
 def _split_heads(x: jnp.ndarray, n_head: int) -> jnp.ndarray:

@@ -13,13 +13,17 @@ moderate T, where the step pays for streaming the band tensor but not for
 extra FLOPs (see CLAUDE.md round-3/4 measured facts).
 
 Backward (custom VJP): ``dq_u``/``dk`` are plain XLA matmuls on the score
-cotangent; the band-side grads reuse the flash kernels' reversed-band
-machinery (``_block_rel_unshift_flipped``) — ``dq_v`` via a blocked kernel
+cotangent; ``bwd='xla'`` (the DEFAULT) rebuilds the band cotangent once in
+XLA (the inverse rel_shift) for the two table-side contractions — the
+dense backward's traffic on the cotangent but still no forward-side band
+tensor. ``bwd='pallas'`` instead reuses the flash kernels' reversed-band
+machinery (``_block_rel_unshift_flipped``): ``dq_v`` via a blocked kernel
 against the row-reversed table, ``dpos`` via the diagonal-reduction grid —
-so the (T, 2T-1) cotangent never materializes either. ``bwd='xla'``
-instead rebuilds the band cotangent once in XLA (the inverse rel_shift),
-which matches the dense backward's traffic; both are exposed for A/B
-benchmarking (scripts/bench_relpos.py).
+the (T, 2T-1) cotangent never materializes either, but MEASURED on the
+chip it is catastrophic (2081 ms/step vs 78.2 for xla-bwd vs 82.0 dense at
+the B16xT512 flagship: the dtab kernel's (H, n_tab, B, n_q) grid makes
+n_tab*n_q passes with two guarded unshifts each and mostly-idle tiles).
+Kept for long-context revisits; select with ``S2S_REL_SCORES_BWD``.
 
 New-style rel-pos only (AASVC/FS2/TTS conformer stacks — the hot path);
 the legacy style (VTN) keeps the dense implementation.

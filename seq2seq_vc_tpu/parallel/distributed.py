@@ -29,7 +29,11 @@ def initialize_multihost(
     """
     import jax
 
-    if jax.process_count() > 1:
+    # must not touch jax.process_count()/jax.devices() here: any backend
+    # query INITIALIZES XLA, after which jax.distributed.initialize
+    # refuses to run (found by tests/test_distributed_multiprocess.py —
+    # the old process_count() guard made this function a no-op trap)
+    if jax.distributed.is_initialized():
         return  # already initialized
     try:
         jax.distributed.initialize(

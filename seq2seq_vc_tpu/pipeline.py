@@ -351,6 +351,41 @@ class Wav2WavARConverter:
         self._jit_cache["synth"] = synth
         return synth
 
+    def _stream_fn(self, sizes_key):
+        """One jitted postnet -> stat chain -> batched chunked HiFi-GAN
+        pipeline over the concatenated decode chunks, keyed by the tuple of
+        chunk frame-lengths (few distinct tuples: schedule prefixes).
+
+        Dispatched speculatively from the decode loop's ``on_chunk`` hook:
+        the synthesis computes on-device while the host blocks on the
+        chunk's finished-flag fetch, so when the decode stops (usually after
+        the expected-length first chunk) the waveform is already in flight —
+        the serial path's postnet+vocoder tail drops out of the latency.
+        A speculation that undershoots (decode continued) is dead work on a
+        device that would otherwise idle through the fetch round trip.
+        """
+        key = ("stream",) + sizes_key
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        import jax.numpy as jnp
+
+        from .vocoder.hifigan import chunked_generate
+
+        model, cls, vocoder = self.model, type(self.model), self.vocoder
+
+        @jax.jit
+        def pipe(mp, vp, *outs_c):
+            o = outs_c[0] if len(outs_c) == 1 else jnp.concatenate(
+                outs_c, axis=1
+            )
+            after = model.apply(mp, o, method=cls.decode_postnet)
+            feats = after * self._trg_scale + self._trg_mean
+            feats = (feats - self._voc_mean) / self._voc_scale
+            return jax.vmap(lambda m: chunked_generate(vocoder, vp, m))(feats)
+
+        self._jit_cache[key] = pipe
+        return pipe
+
     def _prepare(self, audios):
         pad = self.fft_size // 2
         xs = [np.pad(np.asarray(a, np.float32), (pad, pad), mode="reflect")
@@ -366,27 +401,69 @@ class Wav2WavARConverter:
             batch[i, :n] = x[:n]
         return batch, np.asarray(n_trues, np.int32), n_padded
 
-    def convert_batch(self, audios, rng=None):
+    def convert_batch(self, audios, rng=None, stream_vocoder=None):
         """Batched AR conversion: one chunked decode drives the whole
         (B, T) batch (per-item early stop handled by the driver's budget
-        masks); per-item synthesis on length buckets."""
+        masks); per-item synthesis on length buckets.
+
+        ``stream_vocoder`` (default: the config's
+        ``inference.stream_vocoder``, else True): overlap vocoder synthesis
+        with the chunked decode by speculatively dispatching the full
+        postnet+stats+synthesis pipeline for the decoded prefix after every
+        chunk dispatch (``_stream_fn``). The speculation that matches the
+        final kept-chunk set IS the final result — identical math to the
+        serial path dispatched earlier — so outputs match the serial path
+        (chunked_generate's documented halo tolerance applies only past
+        each item's valid length, where the serial per-item bucket trim
+        sees edge padding but the streamed full-length batch sees real
+        neighbor frames)."""
         audios = [np.asarray(a, np.float32) for a in audios]
         if not audios:
             return []
         if rng is None:
             rng = jax.random.PRNGKey(0)
+        if stream_vocoder is None:
+            stream_vocoder = bool(
+                (self.config.get("inference", {}) or {}).get(
+                    "stream_vocoder", True
+                )
+            )
         batch, n_trues, n_padded = self._prepare(audios)
         mel = self._analysis_fn(n_padded, len(audios))(jnp.asarray(batch))
         est = int(np.ceil(self._est_ratio * int(n_trues.max()) / self._r))
+
+        spec: Dict[int, Any] = {}
+
+        def on_chunk(si, outs_list, st):
+            fn = self._stream_fn(tuple(o.shape[1] for o in outs_list))
+            spec[len(outs_list)] = fn(
+                self.model_params, self.vocoder_params, *outs_list
+            )
+
         out = self.driver(
-            self.model_params, mel, jnp.asarray(n_trues), rng, est_steps=est
+            self.model_params, mel, jnp.asarray(n_trues), rng, est_steps=est,
+            on_chunk=on_chunk if stream_vocoder else None,
         )
-        feats_all = out["outs"] * self._trg_scale + self._trg_mean
-        feats_all = (feats_all - self._voc_mean) / self._voc_scale
         out_lens = np.asarray(out["out_lens"])
 
+        wav_b = spec.get(out.get("n_chunks_kept"))
+        if wav_b is not None:
+            # the speculative pipeline for the kept chunk set already holds
+            # the final waveforms (dispatched chunks ago) — just trim
+            return [
+                np.asarray(
+                    wav_b[i, : max(1, int(out_lens[i])) * self.hop_size]
+                )
+                for i in range(len(audios))
+            ]
+
+        feats_all = out["outs"] * self._trg_scale + self._trg_mean
+        feats_all = (feats_all - self._voc_mean) / self._voc_scale
+
         synth = self._synth_fn()
-        wavs = []
+        # dispatch every item's synthesis before fetching any: the fetch of
+        # item i then overlaps item i+1's device compute
+        pending = []
         for i in range(len(audios)):
             n_frames_i = max(1, int(out_lens[i]))
             n_bucket = min(
@@ -395,10 +472,12 @@ class Wav2WavARConverter:
                 * self.bucket_frames,
             )
             wav = synth(self.vocoder_params, feats_all[i, :n_bucket])
-            n_samples = min(n_frames_i * self.hop_size, wav.shape[0])
-            wavs.append(np.asarray(wav[:n_samples]))
-        return wavs
+            pending.append((wav, n_frames_i))
+        return [
+            np.asarray(wav[: min(n_frames_i * self.hop_size, wav.shape[0])])
+            for wav, n_frames_i in pending
+        ]
 
-    def __call__(self, audio: np.ndarray, rng=None) -> np.ndarray:
+    def __call__(self, audio: np.ndarray, rng=None, stream_vocoder=None) -> np.ndarray:
         """audio (T,) float32 in [-1,1] -> converted waveform (T',)."""
-        return self.convert_batch([audio], rng=rng)[0]
+        return self.convert_batch([audio], rng=rng, stream_vocoder=stream_vocoder)[0]

@@ -239,3 +239,59 @@ def test_wav2wav_converter_hosts_fastspeech_vc():
     )
     y = conv(audio)
     assert y.ndim == 1 and len(y) > 0 and np.isfinite(y).all()
+
+
+def test_wav2wav_ar_streamed_matches_serial():
+    """stream_vocoder=True (speculative postnet+synthesis during decode)
+    produces the same waveforms as the serial path: the matching
+    speculation IS the final math. Comparison excludes each item's final
+    halo receptive field, where the serial per-item bucket trim sees edge
+    padding but the streamed full-length batch sees real frames."""
+    from seq2seq_vc_tpu.models import VTN
+    from seq2seq_vc_tpu.pipeline import Wav2WavARConverter
+    from seq2seq_vc_tpu.vocoder.hifigan import HifiganGenerator
+
+    sr = 16000
+    model = VTN(
+        idim=80, odim=80, adim=32, aheads=2, elayers=1, eunits=64,
+        dlayers=1, dunits=64, postnet_layers=2, postnet_chans=16,
+        dprenet_units=16, decoder_reduction_factor=2,
+    )
+    voc = HifiganGenerator(
+        in_channels=80, upsample_channels=32,
+        upsample_kernel_sizes=(16, 16, 4, 4), upsample_factors=(8, 8, 2, 2),
+        resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3),),
+    )
+    rng = np.random.default_rng(1)
+    dummy_mel = rng.standard_normal((1, 32, 80)).astype(np.float32)
+    lens = np.asarray([32], np.int32)
+    labels = np.zeros((1, 32), np.float32)
+    keys = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    mp = jax.jit(
+        lambda m, l, lab: model.init(keys, m, l, m, lab, l, deterministic=True)
+    )(dummy_mel, lens, labels)
+    vp = jax.jit(lambda m: voc.init(jax.random.PRNGKey(3), m))(dummy_mel)
+
+    stats = {"mean": np.zeros(80, np.float32), "scale": np.ones(80, np.float32)}
+    config = {
+        "sampling_rate": sr, "fft_size": 1024, "hop_size": 256,
+        "num_mels": 80, "fmin": 80, "fmax": 7600,
+        "model_params": {"decoder_reduction_factor": 2},
+        "inference": {"threshold": 0.3, "maxlenratio": 3.0,
+                      "decode_chunk_steps": 8, "decode_max_chunk_steps": 32},
+    }
+    conv = Wav2WavARConverter(model, mp, voc, vp, stats, stats, config,
+                              bucket_frames=32)
+
+    t = np.arange(sr // 2) / sr
+    audio = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    audios = [audio, audio[: sr // 4]]
+    key = jax.random.PRNGKey(7)
+    ys_serial = conv.convert_batch(audios, rng=key, stream_vocoder=False)
+    ys_stream = conv.convert_batch(audios, rng=key, stream_vocoder=True)
+    assert len(ys_serial) == len(ys_stream) == 2
+    hop, halo = 256, 8
+    for ws, wt in zip(ys_serial, ys_stream):
+        assert len(ws) == len(wt)
+        n_safe = max(0, len(ws) - (halo + 1) * hop)
+        np.testing.assert_allclose(wt[:n_safe], ws[:n_safe], atol=2e-4)
