@@ -4,7 +4,11 @@ Generic replacement for the reference's per-recipe ``egs/*/local/evaluate.py``
 (~250 LoC each): computes MCD/F0RMSE/F0CORR/DDUR between converted and
 ground-truth wavs (matched by utt id), parallelized over processes, with
 optional ASR CER/WER when a local wav2vec2 checkpoint and transcripts are
-provided.
+provided. ``--gt-ceiling`` reproduces the reference's ground-truth ASR
+baseline mode (``egs/l2-arctic/cascade/local/gt_evaluate.py``): CER/WER of
+the ASR on the GROUND-TRUTH wavs themselves — the intelligibility ceiling
+any conversion is compared against — skipping the signal metrics (GT vs GT
+is trivially zero).
 """
 
 from __future__ import annotations
@@ -52,9 +56,45 @@ def main():
     parser.add_argument("--transcription", default=None, help="2-col utt text file")
     parser.add_argument("--asr-model", default=None, help="local wav2vec2 dir")
     parser.add_argument("--out", default=None, help="optional results csv path")
+    parser.add_argument(
+        "--gt-ceiling", action="store_true",
+        help="ASR CER/WER of the ground-truth wavs themselves (the "
+             "intelligibility ceiling; reference gt_evaluate.py) — "
+             "requires --transcription and --asr-model, skips MCD/F0",
+    )
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO)
+    if args.gt_ceiling:
+        if not (args.transcription and args.asr_model):
+            parser.error("--gt-ceiling requires --transcription and --asr-model")
+        from ..evaluate.asr import ASRTranscriber
+        from ..train.tts_data import read_2column_text
+
+        texts = read_2column_text(args.transcription)
+        asr = ASRTranscriber(args.asr_model)
+        cers, wers, lines = [], [], []
+        for p in sorted(find_files(args.gt_wavdir, "*.wav")):
+            utt = get_basename(p)
+            if utt not in texts:
+                continue
+            audio, sr = read_wav(p)
+            hyp = asr.transcribe(audio, sr)
+            cer = character_error_rate(hyp, texts[utt])
+            wer = word_error_rate(hyp, texts[utt])
+            cers.append(cer)
+            wers.append(wer)
+            lines.append(f"{utt} {cer:.4f} {wer:.4f}")
+            logging.info("%s: CER %.1f%% WER %.1f%%", utt, 100 * cer, 100 * wer)
+        logging.info(
+            "GT ceiling mean CER/WER over %d utts: %.1f%% / %.1f%%",
+            len(cers), 100 * float(np.mean(cers)), 100 * float(np.mean(wers)),
+        )
+        if args.out:
+            os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+            with open(args.out, "w") as f:
+                f.write("\n".join(lines) + "\n")
+        return
     if args.f0_yaml:
         import yaml
 
