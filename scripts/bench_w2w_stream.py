@@ -21,6 +21,10 @@ def main():
     ap.add_argument("--passes", type=int, default=5)
     ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--secs", type=float, default=3.8)
+    ap.add_argument("--threshold", type=float, default=0.5,
+                    help="0.5 = production early-stop serving shape (the "
+                    "overlap's target case); 1.1 = full-budget decode "
+                    "(isolates tail overlap, speculations mostly dead)")
     args = ap.parse_args()
 
     from seq2seq_vc_tpu.core.cache import enable_compilation_cache
@@ -59,10 +63,7 @@ def main():
         "sampling_rate": sr, "fft_size": 1024, "hop_size": 256,
         "num_mels": 80, "fmin": 80, "fmax": 7600,
         "model_params": {"decoder_reduction_factor": 4},
-        # threshold 1.1 never stops early: every decode runs its full
-        # budget, so serial and streamed time IDENTICAL decode work and
-        # the A/B isolates the tail overlap. est ratio sizes chunk 1.
-        "inference": {"threshold": 1.1, "maxlenratio": 4.0,
+        "inference": {"threshold": args.threshold, "maxlenratio": 4.0,
                       "decode_chunk_steps": 32, "decode_max_chunk_steps": 256,
                       "decode_est_len_ratio": 1.2},
     }

@@ -46,6 +46,8 @@ FLASH_TRAIN_MIN_LEN = FLASH_MIN_LEN  # back-compat alias
 # 78.2 ms/step vs 82.0 dense vs 2081(!) with the pallas bwd — the
 # diagonal-reduction dtab kernel's grid serializes. See ops/rel_scores.py.
 REL_SCORES_BWD = _os.environ.get("S2S_REL_SCORES_BWD", "xla")
+# fused-kernel tile size (T is padded to a multiple); 128 measured best
+REL_SCORES_BLOCK = int(_os.environ.get("S2S_REL_SCORES_BLOCK", "128"))
 
 
 def _split_heads(x: jnp.ndarray, n_head: int) -> jnp.ndarray:
@@ -340,7 +342,9 @@ class RelPositionMultiHeadedAttention(nn.Module):
             # training semantics are identical up to fp reassociation
             from ..ops.rel_scores import fused_rel_scores
 
-            scores = fused_rel_scores(q_u, q_v, k, p[0], bwd=REL_SCORES_BWD)
+            scores = fused_rel_scores(
+                q_u, q_v, k, p[0], block=REL_SCORES_BLOCK, bwd=REL_SCORES_BWD
+            )
         else:
             matrix_ac = jnp.einsum(
                 "bhqd,bhkd->bhqk", q_u, k, preferred_element_type=jnp.float32
