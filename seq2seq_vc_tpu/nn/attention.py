@@ -46,8 +46,10 @@ FLASH_TRAIN_MIN_LEN = FLASH_MIN_LEN  # back-compat alias
 # 78.2 ms/step vs 82.0 dense vs 2081(!) with the pallas bwd — the
 # diagonal-reduction dtab kernel's grid serializes. See ops/rel_scores.py.
 REL_SCORES_BWD = _os.environ.get("S2S_REL_SCORES_BWD", "xla")
-# fused-kernel tile size (T is padded to a multiple); 128 measured best
-REL_SCORES_BLOCK = int(_os.environ.get("S2S_REL_SCORES_BLOCK", "128"))
+# fused-kernel tile size CAP (clamped per call to the 128-rounded T so
+# short buckets don't over-pad). Chip A/B at the B16xT512 flagship:
+# block 128 -> 78.2 ms/step, 256 -> 77.2, 512 -> 76.4 (vs 84.1 dense)
+REL_SCORES_BLOCK = int(_os.environ.get("S2S_REL_SCORES_BLOCK", "512"))
 
 
 def _split_heads(x: jnp.ndarray, n_head: int) -> jnp.ndarray:

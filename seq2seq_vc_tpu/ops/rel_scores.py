@@ -328,7 +328,9 @@ def fused_rel_scores(
     B, H, T, D = q_u.shape
     scale = 1.0 / math.sqrt(D)
 
-    b = block
+    # clamp the tile to the 128-rounded sequence length: a 512 tile on a
+    # T=256 bucket would pad (and compute) 2x the frames for nothing
+    b = min(block, _round_up(T, 128))
     d_pad = _round_up(D, 128)
     t_pad = _round_up(T, b)
     n_blk = t_pad // b
