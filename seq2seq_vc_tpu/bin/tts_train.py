@@ -94,6 +94,15 @@ def main():
     model_class = get_model_class(config.get("model_type", "TransformerTTS"))
     model_params = dict(mp)
     model_params["idim"] = idim
+    # TPU training default: fused rel-scores kernel (see bin/vc_train.py)
+    if (
+        "attention_backend" not in model_params
+        and jax.default_backend() not in ("cpu",)
+        and "attention_backend" in getattr(
+            model_class, "__dataclass_fields__", {}
+        )
+    ):
+        model_params["attention_backend"] = "fused"
     model = model_class(**model_params)
 
     criterion = {

@@ -191,6 +191,20 @@ def main():
     # model
     model_class = get_model_class(config["model_type"])
     model_kwargs = dict(config["model_params"])
+    # TPU training default: the fused rel-scores kernel (ops/rel_scores.py)
+    # — identical math to the dense path modulo fp reassociation, the
+    # (T, 2T-1) band tensor never materializes; 76.4 vs 84.1 ms/step at the
+    # flagship scale (CLAUDE.md round-4 facts). Same class of default as
+    # prng_impl=rbg above; set attention_backend explicitly to override.
+    # Models without the knob (VTN's legacy rel-pos falls back internally).
+    if (
+        "attention_backend" not in model_kwargs
+        and jax.default_backend() not in ("cpu",)
+        and "attention_backend" in getattr(
+            model_class, "__dataclass_fields__", {}
+        )
+    ):
+        model_kwargs["attention_backend"] = "fused"
     if sp > 1:
         model_kwargs["sp_mesh"] = mesh
     if pp > 1:
