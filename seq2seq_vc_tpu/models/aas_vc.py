@@ -129,6 +129,11 @@ class AASVC(nn.Module):
     conformer_conv_norm_type: str = "group_norm"
     postnet_norm_type: str = "group_norm"
     attention_backend: str = "xla"  # 'flash': Pallas kernels (legacy + latest rel-pos)
+    # pairwise L2 in the alignment module: 'matmul' (MXU expansion, ~6 ms/
+    # step faster on TPU, cancellation-limited precision), 'direct'
+    # (reference broadcast form, torch-exact), 'auto' = matmul on TPU,
+    # direct elsewhere (see nn/alignment.py for the measured tradeoff)
+    alignment_dist_form: str = "auto"
     # mixed precision: 'bfloat16' runs the conformer stacks + postnet with a
     # bf16 residual stream (fp32 params, LN/softmax stats, losses). The
     # step is HBM-bandwidth-bound at fp32 (~80 GB/step at arctic vc2 scale)
@@ -214,7 +219,8 @@ class AASVC(nn.Module):
             self.duration_predictor_projection = Conv2dSubsampling(self.adim)
 
         self.alignment_module = AlignmentModule(
-            adim=self.adim * self.post_encoder_reduction_factor
+            adim=self.adim * self.post_encoder_reduction_factor,
+            dist_form=self.alignment_dist_form,
         )
 
         if self.decoder_type == "diffsinger":

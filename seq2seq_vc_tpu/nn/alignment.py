@@ -17,7 +17,28 @@ import jax.numpy as jnp
 
 
 class AlignmentModule(nn.Module):
+    """``dist_form`` selects how the pairwise L2 distance is computed:
+
+    - ``"matmul"``: the MXU expansion ||f||^2 + ||t||^2 - 2 f.t — one
+      matmul streaming only the (B, T_feats, T_text) result. ~6 ms/step
+      faster than the broadcast form at arctic-vc2 train scale, but the
+      expansion CANCELS for close pairs: the absolute error on d2 is
+      ~eps*(||f||^2+||t||^2), which 1/(2*dist) amplifies exactly for the
+      best-matching pairs that dominate the softmax and pick the MAS
+      path. Measured grad impact (scripts/diag_grad_parity.py): alignment
+      conv grads ~4e-3 rms off the fp64 arbiter (vs torch's 2e-5), and a
+      flipped MAS boundary changes integer duration targets discretely.
+      Quality-neutral in training practice, but not bit-faithful.
+    - ``"direct"``: the reference's broadcast-difference form
+      (alignments.py AlignmentModule), exact like torch but streaming a
+      logical (B, T_feats, T_text, C) tensor — 6.4 GB at train scale.
+    - ``"auto"`` (default): matmul on TPU (where the MXU/HBM tradeoff
+      wins), direct elsewhere (CPU tests/e2e parity, where exactness
+      matters and shapes are small).
+    """
+
     adim: int
+    dist_form: str = "auto"
 
     @nn.compact
     def __call__(
@@ -41,20 +62,21 @@ class AlignmentModule(nn.Module):
         f = nn.relu(Conv(self.adim, (3,), padding="SAME", name="f_conv2")(f))
         f = Conv(self.adim, (1,), name="f_conv3")(f)
 
-        # -||f_t - t_k||_2 as score, via the matmul expansion
-        # ||f||^2 + ||t||^2 - 2 f.t: the broadcast-difference form the
-        # reference uses (alignments.py AlignmentModule) materializes a
-        # (B, T_feats, T_text, C) tensor — 6.4 GB at arctic-vc2 train
-        # scale, the single largest HBM stream in the step — while this
-        # form is one MXU matmul with only the (B, T_feats, T_text)
-        # result. HIGHEST precision keeps the cancellation error ~1e-5
-        # absolute on the squared distance, invisible after log_softmax.
-        f2 = jnp.sum(jnp.square(f), axis=-1)  # (B, T_feats)
-        t2 = jnp.sum(jnp.square(t), axis=-1)  # (B, T_text)
-        cross = jnp.einsum(
-            "bfc,btc->bft", f, t, precision=jax.lax.Precision.HIGHEST
-        )
-        d2 = f2[:, :, None] + t2[:, None, :] - 2.0 * cross
+        form = self.dist_form
+        if form == "auto":
+            form = "matmul" if jax.default_backend() == "tpu" else "direct"
+        if form == "matmul":
+            f2 = jnp.sum(jnp.square(f), axis=-1)  # (B, T_feats)
+            t2 = jnp.sum(jnp.square(t), axis=-1)  # (B, T_text)
+            cross = jnp.einsum(
+                "bfc,btc->bft", f, t, precision=jax.lax.Precision.HIGHEST
+            )
+            d2 = f2[:, :, None] + t2[:, None, :] - 2.0 * cross
+        elif form == "direct":
+            diff = f[:, :, None, :] - t[:, None, :, :]
+            d2 = jnp.sum(jnp.square(diff), axis=-1)
+        else:
+            raise ValueError(f"unknown dist_form: {self.dist_form}")
         dist = jnp.sqrt(jnp.maximum(d2, 1e-12))
         score = -dist
         if x_masks is not None:

@@ -93,12 +93,16 @@ def _ctc_single(lp_pd: jnp.ndarray, n_text: jnp.ndarray, n_feats: jnp.ndarray):
     return -end
 
 
-@jax.jit
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("grad_semantics",))
 def forward_sum_loss(
     log_p_attn: jnp.ndarray,
     ilens: jnp.ndarray,
     olens: jnp.ndarray,
     blank_prob: float = math.exp(-1),
+    grad_semantics: str = "torch",
 ) -> jnp.ndarray:
     """Batched forward-sum loss.
 
@@ -108,16 +112,46 @@ def forward_sum_loss(
         ilens: (B,) text lengths.
         olens: (B,) feature lengths.
         blank_prob: CTC blank score.
+        grad_semantics: ``"torch"`` reproduces the reference's actual
+            training gradient; ``"true"`` is plain autodiff. torch's
+            ``F.ctc_loss`` backward returns ``exp(lp) - posterior`` — the
+            gradient w.r.t. the LOGITS of a log_softmax — but assigns it to
+            the ``log_probs`` input (the true input gradient is just
+            ``-posterior``). The reference (forward_sum_loss.py:56-75)
+            feeds UNNORMALIZED scores (log_softmax attention + beta-binomial
+            prior), where the two differ by exactly
+            ``exp(lp) / target_len`` per valid (frame, token) cell —
+            verified against fp64 finite differences (residual ~3e-10).
+            That deterministic ~3e-3 gradient offset compounds linearly
+            over training steps, so trajectory parity with the reference
+            requires reproducing it. Implemented as a zero-valued
+            ``term - stop_gradient(term)`` whose gradient is the offset —
+            loss VALUES are identical under both settings.
 
     Returns:
         Scalar: mean over batch of per-item loss / target length (the
         reference's ``F.ctc_loss`` 'mean' reduction semantics), with
         non-finite items zeroed (zero_infinity).
     """
-    B, _, _ = log_p_attn.shape
+    B, t_feats, t_text = log_p_attn.shape
     blank = jnp.full(log_p_attn.shape[:2] + (1,), math.log(blank_prob), log_p_attn.dtype)
     lp_pd = jnp.concatenate([blank, log_p_attn], axis=2)
     losses = jax.vmap(_ctc_single)(lp_pd, ilens, olens)
     losses = losses / jnp.maximum(ilens, 1)
-    losses = jnp.where(losses > 1e29, 0.0, losses)  # zero_infinity
-    return jnp.mean(losses)
+    finite = losses <= 1e29  # zero_infinity: drop items (and their grads)
+    losses = jnp.where(finite, losses, 0.0)
+    loss = jnp.mean(losses)
+    if grad_semantics == "torch":
+        # exp() never overflows here: log-softmax + log-pmf scores are <= 0.
+        # The blank column is a constant (not model-owned), so only the
+        # T_text input columns need the offset.
+        tmask = jnp.arange(t_feats)[None, :, None] < olens[:, None, None]
+        kmask = jnp.arange(t_text)[None, None, :] < ilens[:, None, None]
+        scale = jnp.where(finite, 1.0, 0.0) / (B * jnp.maximum(ilens, 1))
+        term = jnp.sum(
+            jnp.exp(log_p_attn) * (tmask & kmask) * scale[:, None, None]
+        )
+        loss = loss + term - jax.lax.stop_gradient(term)
+    elif grad_semantics != "true":
+        raise ValueError(f"unknown grad_semantics: {grad_semantics}")
+    return loss

@@ -459,6 +459,63 @@ def test_forward_sum_loss_parity():
     np.testing.assert_allclose(float(ours), float(r), rtol=1e-4)
 
 
+def test_forward_sum_loss_grad_parity():
+    """The GRADIENT must match torch's quirky ctc_loss backward.
+
+    torch's ``F.ctc_loss`` backward returns ``exp(lp) - posterior`` (the
+    logits gradient of a log_softmax) assigned to the log_probs input; the
+    reference feeds unnormalized scores, where this differs from the true
+    input gradient (``-posterior``) by exp(lp)/target_len per valid cell.
+    ``grad_semantics="torch"`` (the default) reproduces it; this locks the
+    reference's actual training math (see ops/forward_sum.py).
+    """
+    from seq2seq_vc.losses.forward_sum_loss import ForwardSumLoss as RefFS
+
+    from seq2seq_vc_tpu.ops.forward_sum import beta_binomial_prior, forward_sum_loss
+
+    rng = np.random.default_rng(17)
+    B, T_feats, T_text = 2, 21, 9
+    log_p = np.log(rng.random((B, T_feats, T_text)).astype(np.float32) + 1e-6)
+    ilens = np.array([9, 6])
+    olens = np.array([21, 15])
+
+    lp_t = torch.from_numpy(log_p).requires_grad_(True)
+    RefFS(cache_prior=False)(
+        lp_t, torch.from_numpy(ilens), torch.from_numpy(olens)
+    ).backward()
+    g_ref = lp_t.grad.numpy()
+
+    prior = beta_binomial_prior(
+        jnp.asarray(ilens), jnp.asarray(olens), T_text, T_feats
+    )
+    # the prior is an additive constant, so d/d(log_p) == d/d(log_p+prior)
+    g_torch_sem = jax.grad(
+        lambda lp: forward_sum_loss(
+            lp + prior, jnp.asarray(ilens), jnp.asarray(olens)
+        )
+    )(jnp.asarray(log_p))
+    np.testing.assert_allclose(
+        np.asarray(g_torch_sem), g_ref, rtol=2e-4, atol=2e-6
+    )
+
+    # and the torch-vs-true offset is exactly exp(lp)*mask/(B*ilens)
+    g_true = jax.grad(
+        lambda lp: forward_sum_loss(
+            lp + prior, jnp.asarray(ilens), jnp.asarray(olens),
+            grad_semantics="true",
+        )
+    )(jnp.asarray(log_p))
+    tmask = np.arange(T_feats)[None, :, None] < olens[:, None, None]
+    kmask = np.arange(T_text)[None, None, :] < ilens[:, None, None]
+    offset = (
+        np.exp(log_p + np.asarray(prior)) * (tmask & kmask)
+        / (B * ilens[:, None, None])
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_torch_sem - g_true), offset, rtol=1e-4, atol=1e-7
+    )
+
+
 def test_guided_attention_loss_parity():
     from seq2seq_vc.losses.guided_attention_loss import (
         GuidedMultiHeadAttentionLoss as RefGA,
