@@ -171,7 +171,7 @@ def ref_total_loss(ref, crit, xs, ilens, ys, olens):
 
 
 def run_horizon(steps, cfg, batches, nsrc, trg_st, eval_utts, wav_dir,
-                gl_iters, tag, bias_control=False):
+                gl_iters, tag, bias_control=False, jax_overrides=None):
     """Train torch-A, torch-B (random-noise control) and jax (converted
     from torch-A) for `steps` identical steps; decode + vocode the eval
     utterances with all of them; return per-utt pairwise MCD rows.
@@ -199,7 +199,11 @@ def run_horizon(steps, cfg, batches, nsrc, trg_st, eval_utts, wav_dir,
     chaos_gen = torch.Generator().manual_seed(123)
     chaos_scale = None  # measured at step 0; see below
     bias_dirs = None  # fixed per-param directions for torch-C
-    ours = AASVC(**cfg)
+    # jax_overrides: jax-side-only model knobs (e.g. alignment_dist_form
+    # "matmul" — the TPU training default, whose d2 cancellation the CPU
+    # "direct" default avoids) so the harness can bound what the TPU
+    # numerics do to system-level parity.
+    ours = AASVC(**cfg, **(jax_overrides or {}))
     variables = convert_aasvc(ref_a.state_dict(), ours)
 
     crit = {"L1": L1Loss(), "FS": ForwardSumLoss(cache_prior=False),
@@ -445,7 +449,18 @@ def main():
     p.add_argument("--n-eval", type=int, default=4)
     p.add_argument("--report", default=os.path.join(REPO, "docs", "E2E_PARITY.md"))
     p.add_argument("--gl-iters", type=int, default=64)
+    p.add_argument(
+        "--jax-dist-form", default=None, choices=["matmul", "direct"],
+        help="jax-side AlignmentModule dist_form override (the TPU "
+        "training default is matmul via 'auto'; the torch reference is "
+        "always the direct broadcast form). Use with a non-default "
+        "--report path to keep the canonical report intact.",
+    )
     args = p.parse_args()
+    jax_overrides = (
+        {"alignment_dist_form": args.jax_dist_form}
+        if args.jax_dist_form else None
+    )
 
     torch.set_num_threads(1)
     t0 = time.time()
@@ -482,7 +497,7 @@ def main():
         rows, track, chaos_scale = run_horizon(
             steps, cfg, batches, nsrc, trg_st, eval_utts,
             os.path.join(args.workdir, f"decoded_{tag}"), args.gl_iters, tag,
-            bias_control=(tag == "coupled"),
+            bias_control=(tag == "coupled"), jax_overrides=jax_overrides,
         )
         noflip = [r for r in rows if not r["jax_flip"]]
         results[tag] = dict(
@@ -542,6 +557,11 @@ def main():
     with open(args.report, "w") as f:
         f.write(
             "# End-to-end cross-framework parity (synthetic corpus)\n\n"
+            + (
+                "**Variant run**: jax-side model overrides "
+                f"`{jax_overrides}` (torch reference unchanged).\n\n"
+                if jax_overrides else ""
+            )
             "wav -> shared log-mel frontend -> identical converted init -> "
             "N identical Adam steps in BOTH frameworks (reference torch "
             "loss assembly, trainers/aas_vc.py:60-146) -> decode the same "

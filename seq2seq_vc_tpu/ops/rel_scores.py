@@ -122,6 +122,57 @@ def _dtab_kernel(
         dtab_ref[0] = acc_scr[:].astype(dtab_ref.dtype)
 
 
+def _banded_bwd_kernel(
+    g_ref, rlo_ref, rhi_ref, qv_ref, dqv_ref, dtab_ref, dqv_scr,
+    *, block, scale, n_kv,
+):
+    """One pass over the score cotangent: dqv AND dtab from shared y.
+
+    Fixes what made the diagonal-reduction ``_dtab_kernel`` catastrophic
+    (2081 ms/step measured): its (H, n_tab, B, n_q) grid visits every
+    (diagonal, batch, query) triple — mostly out-of-range guards — and
+    unshifts each g block twice. Here the grid is the DENSE g tiling
+    (h, bi, qi, ki): every cotangent block is loaded and unshifted exactly
+    once, y serves both contractions, and the (2b, qw) table contribution
+    is scatter-accumulated at dynamic row offset rho*b into the full
+    reversed-table gradient block, which stays VMEM-resident for the whole
+    grid (out index (h, 0, 0) — revisits are consecutive; L*qw fp32 is
+    ~0.8 MB at T=512). Row mapping (inverse of ``_dtab_kernel``): g block
+    (qi, ki) contributes c[:b] to rev block rho = qi + n_kv - 1 - ki and
+    c[b:] to rho + 1 — contiguous rows [rho*b, rho*b + 2b), always in
+    range since L = 3 * n_kv * b.
+    """
+    bi = pl.program_id(1)
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _():
+        dqv_scr[:] = jnp.zeros_like(dqv_scr)
+
+    @pl.when((bi == 0) & (qi == 0) & (ki == 0))
+    def _():
+        dtab_ref[0] = jnp.zeros_like(dtab_ref[0])
+
+    y = _block_rel_unshift_flipped(g_ref[0] * scale, block)  # (b, 2b)
+    p2_rev = jnp.concatenate([rlo_ref[0], rhi_ref[0]], axis=0)  # (2b, qw)
+    dqv_scr[:] += jax.lax.dot_general(
+        y, p2_rev, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(ki == n_kv - 1)
+    def _():
+        dqv_ref[0] = dqv_scr[:].astype(dqv_ref.dtype)
+
+    c = jax.lax.dot_general(
+        y, qv_ref[0], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (2b, qw) rows in rev-table order
+    off = (qi + n_kv - 1 - ki) * block
+    idx = (0, pl.ds(off, 2 * block), slice(None))
+    dtab_ref[idx] += c
+
+
 def _rel_unshift_xla(g: jnp.ndarray, scale: float) -> jnp.ndarray:
     """Transpose of the new-style ``rel_shift``: (.., T, T) -> (.., T, 2T-1).
 
@@ -230,6 +281,50 @@ def _scores_core(n_heads, block, scale, interpret, bwd):
             return dqu, dqv, dk, dtable
 
         table_rev = table[:, ::-1, :]
+        if bwd == "banded":
+            dqv, dtab_rev = pl.pallas_call(
+                functools.partial(
+                    _banded_bwd_kernel, block=b, scale=scale, n_kv=n_blk
+                ),
+                grid=(n_heads, n_batch, n_blk, n_blk),
+                in_specs=[
+                    pl.BlockSpec(
+                        (1, b, b),
+                        lambda h, bi, qi, ki, H=n_heads: (bi * H + h, qi, ki),
+                    ),
+                    # reversed-table blocks (same geometry as _dqv_kernel)
+                    pl.BlockSpec(
+                        (1, b, qw),
+                        lambda h, bi, qi, ki, nb=n_blk: (h, nb - 1 + qi - ki, 0),
+                    ),
+                    pl.BlockSpec(
+                        (1, b, qw),
+                        lambda h, bi, qi, ki, nb=n_blk: (h, nb + qi - ki, 0),
+                    ),
+                    pl.BlockSpec(
+                        (1, b, qw),
+                        lambda h, bi, qi, ki, H=n_heads: (bi * H + h, qi, 0),
+                    ),
+                ],
+                out_specs=(
+                    pl.BlockSpec(
+                        (1, b, qw),
+                        lambda h, bi, qi, ki, H=n_heads: (bi * H + h, qi, 0),
+                    ),
+                    pl.BlockSpec(
+                        (1, n_tab * b, qw), lambda h, bi, qi, ki: (h, 0, 0)
+                    ),
+                ),
+                out_shape=(
+                    jax.ShapeDtypeStruct((bhn, t_pad, qw), qv.dtype),
+                    jax.ShapeDtypeStruct(
+                        (n_heads, n_tab * b, qw), jnp.float32
+                    ),
+                ),
+                scratch_shapes=[pltpu.VMEM((b, qw), jnp.float32)],
+                interpret=interpret,
+            )(g, table_rev, table_rev, qv)
+            return dqu, dqv, dk, dtab_rev[:, ::-1, :].astype(table.dtype)
         dqv = pl.pallas_call(
             functools.partial(_dqv_kernel, block=b, scale=scale),
             grid=(bhn, n_blk, n_blk),
@@ -316,8 +411,12 @@ def fused_rel_scores(
         block: tile size (T is padded up to a multiple).
         interpret: run in interpreter mode (None = auto: real kernel on
             TPU, interpreter elsewhere so tests run on CPU).
-        bwd: 'pallas' (band cotangent never materialized) or 'xla'
-            (rebuild it once — the dense backward's traffic) for A/B.
+        bwd: 'xla' (rebuild the band cotangent once — the dense backward's
+            traffic), 'banded' (one dense-grid Pallas pass computing dqv +
+            dtab together, band cotangent never materialized, table grad
+            scatter-accumulated in VMEM — see _banded_bwd_kernel), or
+            'pallas' (the legacy diagonal-reduction pair — catastrophic on
+            the chip, kept for A/B history).
     Returns:
         (B, H, T, T) fp32 scores, already scaled by 1/sqrt(D). Rows/cols
         beyond valid lengths are garbage — callers apply their padding

@@ -27,7 +27,7 @@ def _dense_scores(qu, qv, k, pos):
     return (ac + bd) / jnp.sqrt(jnp.float32(d))
 
 
-@pytest.mark.parametrize("bwd", ["xla", "pallas"])
+@pytest.mark.parametrize("bwd", ["xla", "pallas", "banded"])
 @pytest.mark.parametrize("T", [32, 40])  # 40: T % block != 0 (pad path)
 def test_fused_scores_match_dense(bwd, T):
     B, H, D, block = 2, 2, 24, 16
@@ -53,7 +53,7 @@ def test_fused_scores_match_dense(bwd, T):
         np.testing.assert_allclose(b, a, atol=5e-5)
 
 
-@pytest.mark.parametrize("bwd", ["xla", "pallas"])
+@pytest.mark.parametrize("bwd", ["xla", "pallas", "banded"])
 def test_module_fused_backend_matches_xla(bwd, monkeypatch):
     import seq2seq_vc_tpu.nn.attention as attn_mod
 
