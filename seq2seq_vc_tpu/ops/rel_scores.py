@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Optional
 
 import jax
@@ -134,13 +135,15 @@ def _banded_bwd_kernel(
     unshifts each g block twice. Here the grid is the DENSE g tiling
     (h, bi, qi, ki): every cotangent block is loaded and unshifted exactly
     once, y serves both contractions, and the (2b, qw) table contribution
-    is scatter-accumulated at dynamic row offset rho*b into the full
-    reversed-table gradient block, which stays VMEM-resident for the whole
-    grid (out index (h, 0, 0) — revisits are consecutive; L*qw fp32 is
-    ~0.8 MB at T=512). Row mapping (inverse of ``_dtab_kernel``): g block
-    (qi, ki) contributes c[:b] to rev block rho = qi + n_kv - 1 - ki and
-    c[b:] to rho + 1 — contiguous rows [rho*b, rho*b + 2b), always in
-    range since L = 3 * n_kv * b.
+    is scatter-accumulated at dynamic row offset rho*b into the touched
+    [0, 2*t_pad) prefix of the reversed-table gradient, which stays
+    VMEM-resident for the whole grid (out index (h, 0, 0) — revisits are
+    consecutive). The tile size here is the BACKWARD's own (picked by
+    ``_pick_banded_block`` against the scoped-VMEM budget), independent of
+    the forward's adaptive cap. Row mapping (inverse of ``_dtab_kernel``):
+    g block (qi, ki) contributes c[:b] to rev block rho = qi + n_kv - 1 -
+    ki and c[b:] to rho + 1 — contiguous rows [rho*b, rho*b + 2b), always
+    within [0, 2 * n_kv * b).
     """
     bi = pl.program_id(1)
     qi = pl.program_id(2)
@@ -173,6 +176,41 @@ def _banded_bwd_kernel(
     dtab_ref[idx] += c
 
 
+def _banded_vmem_estimate(b2: int, t_pad: int, qw: int, esz: int) -> int:
+    """Conservative scoped-VMEM bytes for one _banded_bwd_kernel instance.
+
+    Double-buffered ins/outs + the grid-resident (2*t_pad, qw) fp32 table
+    gradient + the fp32 scratch + in-register temporaries (unshifted y,
+    concat'd p2_rev, c). Used to pick the backward's own tile size: the
+    forward's adaptive 512 cap blows the 16 MB scoped limit here at the
+    decoder's 768-per-head width (measured: 17.12 M requested).
+    """
+    dtab = 2 * t_pad * qw * 4
+    g_in = 2 * b2 * b2 * 4
+    tab_in = 2 * 2 * b2 * qw * esz
+    qv_in = 2 * b2 * qw * esz
+    dqv_out = 2 * b2 * qw * esz
+    scratch = b2 * qw * 4
+    temps = 2 * b2 * 2 * b2 * 4 + 2 * 2 * b2 * qw * 4
+    return dtab + g_in + tab_in + qv_in + dqv_out + scratch + temps
+
+
+def _pick_banded_block(b: int, t_pad: int, qw: int, esz: int, limit: int):
+    """Largest 128-aligned tile <= b dividing t_pad that fits the limit.
+
+    None = even the smallest tile doesn't fit (table-grad residency
+    dominates at large t_pad*qw) -> caller falls back to the xla backward.
+    """
+    cand = b
+    while cand >= 1:
+        if t_pad % cand == 0 and _banded_vmem_estimate(
+            cand, t_pad, qw, esz
+        ) <= limit:
+            return cand
+        cand = cand - 128 if cand > 128 else cand // 2
+    return None
+
+
 def _rel_unshift_xla(g: jnp.ndarray, scale: float) -> jnp.ndarray:
     """Transpose of the new-style ``rel_shift``: (.., T, T) -> (.., T, 2T-1).
 
@@ -190,7 +228,7 @@ def _rel_unshift_xla(g: jnp.ndarray, scale: float) -> jnp.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def _scores_core(n_heads, block, scale, interpret, bwd):
+def _scores_core(n_heads, block, scale, interpret, bwd, bwd_vmem_limit):
     b = block
 
     def fwd_impl(qu, qv, k, table):
@@ -255,7 +293,7 @@ def _scores_core(n_heads, block, scale, interpret, bwd):
             * scale
         ).astype(k.dtype)
 
-        if bwd == "xla":
+        def xla_bwd():
             # rebuild the padded (t_pad, 2*t_pad - 1) band cotangent once
             # (the dense backward's traffic), then two table contractions.
             # Padded band column j <-> table row t_pad + j (derivation in
@@ -280,51 +318,77 @@ def _scores_core(n_heads, block, scale, interpret, bwd):
             )
             return dqu, dqv, dk, dtable
 
+        if bwd == "xla":
+            return xla_bwd()
+
         table_rev = table[:, ::-1, :]
         if bwd == "banded":
+            # the backward picks its OWN tile: the grid-resident table-grad
+            # block + 512-wide forward tiles exceed the 16 MB scoped-VMEM
+            # limit at decoder widths (measured 17.12 M requested).
+            b2 = _pick_banded_block(
+                b, t_pad, qw, qv.dtype.itemsize, bwd_vmem_limit
+            )
+            if b2 is None:  # residency alone too big -> xla variant
+                return xla_bwd()
+            nb2 = t_pad // b2
+            # only rev-table rows [0, 2*t_pad) are ever touched (max row
+            # offset (2*nb2 - 2)*b2 + 2*b2 = 2*t_pad); rev rows
+            # [2*t_pad, 3*t_pad) <-> original zero-padding rows [0, t_pad),
+            # whose gradient is exactly zero — so the resident output block
+            # carries 2*t_pad rows and the zeros are appended afterwards.
             dqv, dtab_rev = pl.pallas_call(
                 functools.partial(
-                    _banded_bwd_kernel, block=b, scale=scale, n_kv=n_blk
+                    _banded_bwd_kernel, block=b2, scale=scale, n_kv=nb2
                 ),
-                grid=(n_heads, n_batch, n_blk, n_blk),
+                grid=(n_heads, n_batch, nb2, nb2),
                 in_specs=[
                     pl.BlockSpec(
-                        (1, b, b),
+                        (1, b2, b2),
                         lambda h, bi, qi, ki, H=n_heads: (bi * H + h, qi, ki),
                     ),
                     # reversed-table blocks (same geometry as _dqv_kernel)
                     pl.BlockSpec(
-                        (1, b, qw),
-                        lambda h, bi, qi, ki, nb=n_blk: (h, nb - 1 + qi - ki, 0),
+                        (1, b2, qw),
+                        lambda h, bi, qi, ki, nb=nb2: (h, nb - 1 + qi - ki, 0),
                     ),
                     pl.BlockSpec(
-                        (1, b, qw),
-                        lambda h, bi, qi, ki, nb=n_blk: (h, nb + qi - ki, 0),
+                        (1, b2, qw),
+                        lambda h, bi, qi, ki, nb=nb2: (h, nb + qi - ki, 0),
                     ),
                     pl.BlockSpec(
-                        (1, b, qw),
+                        (1, b2, qw),
                         lambda h, bi, qi, ki, H=n_heads: (bi * H + h, qi, 0),
                     ),
                 ],
                 out_specs=(
                     pl.BlockSpec(
-                        (1, b, qw),
+                        (1, b2, qw),
                         lambda h, bi, qi, ki, H=n_heads: (bi * H + h, qi, 0),
                     ),
                     pl.BlockSpec(
-                        (1, n_tab * b, qw), lambda h, bi, qi, ki: (h, 0, 0)
+                        (1, 2 * t_pad, qw), lambda h, bi, qi, ki: (h, 0, 0)
                     ),
                 ),
                 out_shape=(
                     jax.ShapeDtypeStruct((bhn, t_pad, qw), qv.dtype),
                     jax.ShapeDtypeStruct(
-                        (n_heads, n_tab * b, qw), jnp.float32
+                        (n_heads, 2 * t_pad, qw), jnp.float32
                     ),
                 ),
-                scratch_shapes=[pltpu.VMEM((b, qw), jnp.float32)],
+                scratch_shapes=[pltpu.VMEM((b2, qw), jnp.float32)],
                 interpret=interpret,
             )(g, table_rev, table_rev, qv)
-            return dqu, dqv, dk, dtab_rev[:, ::-1, :].astype(table.dtype)
+            # orig = reverse(concat([dtab_rev, zeros(t_pad)]))
+            #      = concat([zeros(t_pad), reverse(dtab_rev)])
+            dtable = jnp.concatenate(
+                [
+                    jnp.zeros((n_heads, t_pad, qw), table.dtype),
+                    dtab_rev[:, ::-1, :].astype(table.dtype),
+                ],
+                axis=1,
+            )
+            return dqu, dqv, dk, dtable
         dqv = pl.pallas_call(
             functools.partial(_dqv_kernel, block=b, scale=scale),
             grid=(bhn, n_blk, n_blk),
@@ -390,7 +454,7 @@ def _scores_core(n_heads, block, scale, interpret, bwd):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block", "interpret", "bwd")
+    jax.jit, static_argnames=("block", "interpret", "bwd", "bwd_vmem_limit")
 )
 def fused_rel_scores(
     q_u: jnp.ndarray,
@@ -400,6 +464,7 @@ def fused_rel_scores(
     block: int = 128,
     interpret: Optional[bool] = None,
     bwd: str = "pallas",
+    bwd_vmem_limit: Optional[int] = None,
 ) -> jnp.ndarray:
     """Scaled new-style rel-pos attention scores, band never materialized.
 
@@ -417,6 +482,11 @@ def fused_rel_scores(
             scatter-accumulated in VMEM — see _banded_bwd_kernel), or
             'pallas' (the legacy diagonal-reduction pair — catastrophic on
             the chip, kept for A/B history).
+        bwd_vmem_limit: scoped-VMEM budget (bytes) the banded backward's
+            tile picker targets (None = $S2S_REL_SCORES_BWD_VMEM, default
+            14 MiB — headroom under the 16 MiB hardware scoped limit);
+            shapes whose table-grad residency can't fit fall back to the
+            xla backward.
     Returns:
         (B, H, T, T) fp32 scores, already scaled by 1/sqrt(D). Rows/cols
         beyond valid lengths are garbage — callers apply their padding
@@ -424,6 +494,10 @@ def fused_rel_scores(
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if bwd_vmem_limit is None:
+        bwd_vmem_limit = int(
+            os.environ.get("S2S_REL_SCORES_BWD_VMEM", str(14 * 2**20))
+        )
     B, H, T, D = q_u.shape
     scale = 1.0 / math.sqrt(D)
 
@@ -456,6 +530,6 @@ def fused_rel_scores(
         (0, 2 * t_pad - T, 0),
     )
 
-    core = _scores_core(H, b, scale, interpret, bwd)
+    core = _scores_core(H, b, scale, interpret, bwd, bwd_vmem_limit)
     s = core(qu, qv, kp, table)
     return s.reshape(B, H, t_pad, t_pad)[:, :, :T, :T]

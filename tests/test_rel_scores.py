@@ -53,6 +53,59 @@ def test_fused_scores_match_dense(bwd, T):
         np.testing.assert_allclose(b, a, atol=5e-5)
 
 
+@pytest.mark.parametrize(
+    "limit",
+    [
+        2 * 2**20,  # forces a smaller backward tile than the forward's 256
+        4096,  # nothing fits -> banded falls back to the xla backward
+    ],
+)
+def test_banded_bwd_vmem_repick(limit):
+    """The banded backward re-tiles itself under a scoped-VMEM budget.
+
+    At limit=2 MiB the estimator rejects the forward's 256 tile and picks
+    128 (t_pad=256 stays divisible); at 4 KiB even the smallest tile is
+    rejected and the path must fall back to the xla backward. Gradients
+    must match the dense path either way.
+    """
+    from seq2seq_vc_tpu.ops.rel_scores import (
+        _banded_vmem_estimate,
+        _pick_banded_block,
+    )
+
+    B, H, T, D, block = 1, 1, 256, 64, 256
+    # sanity of the scenario itself: 2 MiB sits between est(128) and
+    # est(256) for these shapes (qw = d_pad = 128, fp32)
+    assert _banded_vmem_estimate(128, 256, 128, 4) <= 2 * 2**20
+    assert _banded_vmem_estimate(256, 256, 128, 4) > 2 * 2**20
+    if limit == 2 * 2**20:
+        assert _pick_banded_block(block, 256, 128, 4, limit) == 128
+    else:
+        assert _pick_banded_block(block, 256, 128, 4, limit) is None
+
+    ks = jax.random.split(jax.random.PRNGKey(3), 5)
+    qu = jax.random.normal(ks[0], (B, H, T, D))
+    qv = jax.random.normal(ks[1], (B, H, T, D))
+    k = jax.random.normal(ks[2], (B, H, T, D))
+    pos = jax.random.normal(ks[3], (H, 2 * T - 1, D))
+    g = jax.random.normal(ks[4], (B, H, T, T))
+
+    gd = jax.grad(lambda *a: (_dense_scores(*a) * g).sum(), argnums=(0, 1, 2, 3))(
+        qu, qv, k, pos
+    )
+    gf = jax.grad(
+        lambda *a: (
+            fused_rel_scores(
+                *a, block=block, bwd="banded", bwd_vmem_limit=limit
+            )
+            * g
+        ).sum(),
+        argnums=(0, 1, 2, 3),
+    )(qu, qv, k, pos)
+    for a, b in zip(gd, gf):
+        np.testing.assert_allclose(b, a, atol=5e-4)
+
+
 @pytest.mark.parametrize("bwd", ["xla", "pallas", "banded"])
 def test_module_fused_backend_matches_xla(bwd, monkeypatch):
     import seq2seq_vc_tpu.nn.attention as attn_mod
