@@ -40,7 +40,7 @@ def test_config_merge_and_dump(tmp_path):
 def test_mesh_and_batch_sharding():
     assert len(jax.devices()) == 8, "conftest must fake 8 CPU devices"
     mesh = get_mesh()
-    assert mesh.shape == {"data": 8, "model": 1, "seq": 1}
+    assert mesh.shape == {"data": 8, "model": 1, "seq": 1, "pipe": 1}
     batch = {"x": jnp.zeros((16, 10, 4)), "lens": jnp.ones((16,), jnp.int32)}
     sharded = shard_batch(batch, mesh)
     assert sharded["x"].sharding == data_sharding(mesh)
