@@ -80,6 +80,10 @@ def bench_nar_inference(jax, jnp):
         dlayers=4, dunits=1536, postnet_layers=5, postnet_chans=256,
         post_encoder_reduction_factor=4, duration_predictor_type="stochastic",
         conformer_enc_kernel_size=15, conformer_dec_kernel_size=15,
+        # round-4 interleaved same-process A/B (bench_ablate --mode
+        # nar_fused): fused >= xla in both pairs (126.8k vs 98.2k, 158.1k
+        # vs 136.7k mel-f/s) — the band IS worth skipping at inference too
+        attention_backend="fused",
     )
     rng = np.random.default_rng(0)
     B, T = 4, 512
@@ -313,6 +317,7 @@ def bench_wav2wav(jax, jnp):
         dlayers=4, dunits=1536, postnet_layers=5, postnet_chans=256,
         post_encoder_reduction_factor=4, duration_predictor_type="stochastic",
         conformer_enc_kernel_size=15, conformer_dec_kernel_size=15,
+        attention_backend="fused",  # matches the shipped-conf serving path
     )
     rng = np.random.default_rng(0)
     B, T = 1, 128

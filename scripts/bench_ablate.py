@@ -170,7 +170,9 @@ def bench_train(jax, jnp, rel_pos_type, param_stream, n_pass=3, n_iter=20):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument(
-        "--mode", default="all", choices=["nar", "train", "all", "nar_bf16"]
+        "--mode",
+        default="all",
+        choices=["nar", "train", "all", "nar_bf16", "nar_fused"],
     )
     args = ap.parse_args()
 
@@ -185,6 +187,12 @@ def main():
                 json.dumps(bench_nar(jax, jnp, "latest", "xla", compute_dtype=dt)),
                 flush=True,
             )
+    if args.mode == "nar_fused":
+        # round 4: does the fused rel-scores forward help or hurt NAR
+        # inference? (the band was never the inference bottleneck; the
+        # flash->fused fallback makes flash-conf models take this path)
+        for backend in ("xla", "fused", "xla", "fused"):
+            print(json.dumps(bench_nar(jax, jnp, "latest", backend)), flush=True)
     if args.mode in ("nar", "all"):
         for rel, backend in [
             ("latest", "xla"), ("latest", "flash"),

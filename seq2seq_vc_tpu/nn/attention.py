@@ -304,8 +304,14 @@ class RelPositionMultiHeadedAttention(nn.Module):
                 _merge_heads(out)
             )
 
+        # 'flash' and 'fused' are both best-of routes under the measured
+        # length gate: at T >= flash_train_min_len the flash kernels win
+        # (score tensors approach HBM limits); below it the fused-scores
+        # kernel wins over the dense band (chip A/B: 76.4 vs 84.1 ms/step
+        # at the B16xT512 flagship), so each backend falls through to the
+        # other regime's kernel when eligible.
         if (
-            self.backend == "flash"
+            self.backend in ("flash", "fused")
             and not self.zero_triu
             and not return_weights
             and key.shape[1] >= self.flash_train_min_len
@@ -332,7 +338,13 @@ class RelPositionMultiHeadedAttention(nn.Module):
                 _merge_heads(out)
             )
         if (
-            self.backend == "fused"
+            (
+                self.backend == "fused"
+                # flash below its length gate falls through here — but only
+                # on TPU: on CPU the Pallas kernel runs in interpret mode
+                # (slow), while the dense XLA band is cheap
+                or (self.backend == "flash" and jax.default_backend() != "cpu")
+            )
             and not self.legacy
             and not self.zero_triu
             and key.shape[1] == query.shape[1]
