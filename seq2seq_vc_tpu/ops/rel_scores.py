@@ -47,6 +47,13 @@ from .flash_attention import (
     _round_up,
 )
 
+# bwd='auto' gate: the band-cotangent traffic the 'banded' backward avoids
+# grows ~T^2, so it wins at long T (chip A/B, fused fwd both sides:
+# 194.1 vs 206.9 ms/step at B16xT960) but is a wash at T=512 (76.7 vs
+# 76.0) where the resident-accumulation kernel's lower achieved bandwidth
+# cancels the saving. Crossover placed at the first 128-multiple above 512.
+AUTO_BANDED_MIN_LEN = int(os.environ.get("S2S_REL_SCORES_AUTO_MIN_LEN", "768"))
+
 
 def _fwd_kernel(qu_ref, qv_ref, k_ref, plo_ref, phi_ref, s_ref, *, block, scale):
     s, _ = _rel_scores(
@@ -479,9 +486,13 @@ def fused_rel_scores(
         bwd: 'xla' (rebuild the band cotangent once — the dense backward's
             traffic), 'banded' (one dense-grid Pallas pass computing dqv +
             dtab together, band cotangent never materialized, table grad
-            scatter-accumulated in VMEM — see _banded_bwd_kernel), or
-            'pallas' (the legacy diagonal-reduction pair — catastrophic on
-            the chip, kept for A/B history).
+            scatter-accumulated in VMEM — see _banded_bwd_kernel),
+            'auto' (length-gated best-of: the (T, 2T-1) band cotangent
+            traffic grows ~T^2 so banded wins at long T — chip A/B:
+            194.1 vs 206.9 ms/step at B16xT960 but a wash at T512
+            (76.7 vs 76.0) — banded at T >= 768, xla below), or 'pallas'
+            (the legacy diagonal-reduction pair — catastrophic on the
+            chip, kept for A/B history).
         bwd_vmem_limit: scoped-VMEM budget (bytes) the banded backward's
             tile picker targets (None = $S2S_REL_SCORES_BWD_VMEM, default
             14 MiB — headroom under the 16 MiB hardware scoped limit);
@@ -494,6 +505,8 @@ def fused_rel_scores(
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if bwd == "auto":
+        bwd = "banded" if q_u.shape[2] >= AUTO_BANDED_MIN_LEN else "xla"
     if bwd_vmem_limit is None:
         bwd_vmem_limit = int(
             os.environ.get("S2S_REL_SCORES_BWD_VMEM", str(14 * 2**20))
