@@ -41,11 +41,13 @@ FLASH_TRAIN_MIN_LEN = FLASH_MIN_LEN  # back-compat alias
 
 # backward variant for the fused rel-scores kernel (attention_backend:
 # fused): 'xla' rebuilds the (T, 2T-1) band cotangent once (the dense
-# backward's traffic), 'pallas' never materializes it. 'xla' is the
-# default on measurement (chip, B16xT512 flagship): fused fwd + xla bwd
-# 78.2 ms/step vs 82.0 dense vs 2081(!) with the pallas bwd — the
-# diagonal-reduction dtab kernel's grid serializes. See ops/rel_scores.py.
-REL_SCORES_BWD = _os.environ.get("S2S_REL_SCORES_BWD", "xla")
+# backward's traffic), 'banded' never materializes it, 'auto' (default)
+# length-gates between them at the chip-measured crossover (xla below
+# T=768, banded above — see ops/rel_scores.py AUTO_BANDED_MIN_LEN; A/B:
+# xla 76.0 vs banded 76.7 ms/step at B16xT512, banded 194.1 vs xla 206.9
+# at B16xT960). 'pallas' (the legacy diagonal-reduction pair) is
+# catastrophic on the chip (2081 ms/step) and kept for A/B history only.
+REL_SCORES_BWD = _os.environ.get("S2S_REL_SCORES_BWD", "auto")
 # fused-kernel tile size CAP (clamped per call to the 128-rounded T so
 # short buckets don't over-pad). Chip A/B at the B16xT512 flagship:
 # block 128 -> 78.2 ms/step, 256 -> 77.2, 512 -> 76.4 (vs 84.1 dense)

@@ -27,7 +27,7 @@ def _dense_scores(qu, qv, k, pos):
     return (ac + bd) / jnp.sqrt(jnp.float32(d))
 
 
-@pytest.mark.parametrize("bwd", ["xla", "pallas", "banded"])
+@pytest.mark.parametrize("bwd", ["xla", "pallas", "banded", "auto"])
 @pytest.mark.parametrize("T", [32, 40])  # 40: T % block != 0 (pad path)
 def test_fused_scores_match_dense(bwd, T):
     B, H, D, block = 2, 2, 24, 16
@@ -106,7 +106,31 @@ def test_banded_bwd_vmem_repick(limit):
         np.testing.assert_allclose(b, a, atol=5e-4)
 
 
-@pytest.mark.parametrize("bwd", ["xla", "pallas", "banded"])
+def test_auto_bwd_gate_resolution(monkeypatch):
+    """bwd='auto' resolves to banded at T >= AUTO_BANDED_MIN_LEN, xla below
+    (the chip-measured crossover), and both legs still match dense."""
+    import seq2seq_vc_tpu.ops.rel_scores as rs
+
+    picked = []
+    real_core = rs._scores_core
+
+    def spy(n_heads, block, scale, interpret, bwd, bwd_vmem_limit):
+        picked.append(bwd)
+        return real_core(n_heads, block, scale, interpret, bwd, bwd_vmem_limit)
+
+    monkeypatch.setattr(rs, "_scores_core", spy)
+    monkeypatch.setattr(rs, "AUTO_BANDED_MIN_LEN", 40)
+    B, H, D, block = 1, 2, 24, 16
+    for T in (32, 40):
+        ks = jax.random.split(jax.random.PRNGKey(T), 4)
+        qu, qv, k = (jax.random.normal(ks[i], (B, H, T, D)) for i in range(3))
+        pos = jax.random.normal(ks[3], (H, 2 * T - 1, D))
+        s = rs.fused_rel_scores(qu, qv, k, pos, block=block, bwd="auto")
+        np.testing.assert_allclose(s, _dense_scores(qu, qv, k, pos), atol=2e-5)
+    assert picked == ["xla", "banded"]
+
+
+@pytest.mark.parametrize("bwd", ["xla", "pallas", "banded", "auto"])
 def test_module_fused_backend_matches_xla(bwd, monkeypatch):
     import seq2seq_vc_tpu.nn.attention as attn_mod
 
