@@ -13,10 +13,12 @@ moderate T, where the step pays for streaming the band tensor but not for
 extra FLOPs (see CLAUDE.md round-3/4 measured facts).
 
 Backward (custom VJP): ``dq_u``/``dk`` are plain XLA matmuls on the score
-cotangent; ``bwd='xla'`` (the DEFAULT) rebuilds the band cotangent once in
-XLA (the inverse rel_shift) for the two table-side contractions — the
-dense backward's traffic on the cotangent but still no forward-side band
-tensor. ``bwd='pallas'`` instead reuses the flash kernels' reversed-band
+cotangent; the DEFAULT ``bwd='auto'`` length-gates between ``'xla'``
+(below ``AUTO_BANDED_MIN_LEN``: rebuild the band cotangent once in XLA —
+the inverse rel_shift — for the two table-side contractions; the dense
+backward's traffic on the cotangent but still no forward-side band
+tensor) and ``'banded'`` (at long T, where the ~T^2 band-cotangent
+traffic dominates). ``bwd='pallas'`` instead reuses the flash kernels' reversed-band
 machinery (``_block_rel_unshift_flipped``): ``dq_v`` via a blocked kernel
 against the row-reversed table, ``dpos`` via the diagonal-reduction grid —
 the (T, 2T-1) cotangent never materializes either, but MEASURED on the
@@ -51,7 +53,10 @@ from .flash_attention import (
 # grows ~T^2, so it wins at long T (chip A/B, fused fwd both sides:
 # 194.1 vs 206.9 ms/step at B16xT960) but is a wash at T=512 (76.7 vs
 # 76.0) where the resident-accumulation kernel's lower achieved bandwidth
-# cancels the saving. Crossover placed at the first 128-multiple above 512.
+# cancels the saving. The crossover is INTERPOLATED within the measured
+# bracket (xla wins at 512, banded at 960; the 768-959 band itself is
+# unmeasured) — tune via S2S_REL_SCORES_AUTO_MIN_LEN if a shape in that
+# band matters.
 AUTO_BANDED_MIN_LEN = int(os.environ.get("S2S_REL_SCORES_AUTO_MIN_LEN", "768"))
 
 
@@ -460,9 +465,6 @@ def _scores_core(n_heads, block, scale, interpret, bwd, bwd_vmem_limit):
     return core
 
 
-@functools.partial(
-    jax.jit, static_argnames=("block", "interpret", "bwd", "bwd_vmem_limit")
-)
 def fused_rel_scores(
     q_u: jnp.ndarray,
     q_v: jnp.ndarray,
@@ -470,7 +472,7 @@ def fused_rel_scores(
     pos: jnp.ndarray,
     block: int = 128,
     interpret: Optional[bool] = None,
-    bwd: str = "pallas",
+    bwd: str = "auto",
     bwd_vmem_limit: Optional[int] = None,
 ) -> jnp.ndarray:
     """Scaled new-style rel-pos attention scores, band never materialized.
@@ -503,6 +505,11 @@ def fused_rel_scores(
         beyond valid lengths are garbage — callers apply their padding
         mask before the softmax exactly as with the dense path.
     """
+    # resolve env/global-dependent knobs OUTSIDE the jit boundary so the
+    # resolved values are part of the static cache key — resolving 'auto'
+    # inside the traced body would silently reuse a stale variant if
+    # AUTO_BANDED_MIN_LEN (or the VMEM budget) changed after a trace for
+    # the same shapes (advisor finding r4)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     if bwd == "auto":
@@ -511,6 +518,17 @@ def fused_rel_scores(
         bwd_vmem_limit = int(
             os.environ.get("S2S_REL_SCORES_BWD_VMEM", str(14 * 2**20))
         )
+    return _fused_rel_scores_jit(
+        q_u, q_v, k, pos,
+        block=block, interpret=interpret, bwd=bwd,
+        bwd_vmem_limit=bwd_vmem_limit,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block", "interpret", "bwd", "bwd_vmem_limit")
+)
+def _fused_rel_scores_jit(q_u, q_v, k, pos, *, block, interpret, bwd, bwd_vmem_limit):
     B, H, T, D = q_u.shape
     scale = 1.0 / math.sqrt(D)
 
