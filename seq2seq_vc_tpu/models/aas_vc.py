@@ -477,27 +477,33 @@ class AASVC(nn.Module):
 
         hs_up = gaussian_upsampling(hs, d_outs, h_masks, h_nonpad)
         B = hs_up.shape[0]
+        def _postnet_masked(before_outs):
+            # zero frames past each item's predicted length before the
+            # postnet convs: the reference decodes at the exact predicted
+            # length (aas_vc.py:531-603), so its postnet's conv padding
+            # past the end is zeros — not the decoder's pad-position
+            # garbage this padded static-shape buffer carries
+            if self.postnet is None:
+                return before_outs
+            valid = jnp.arange(before_outs.shape[1])[None, :] < (
+                out_lens_red * self.decoder_reduction_factor
+            )[:, None]
+            before_outs = jnp.where(valid[..., None], before_outs, 0.0)
+            return before_outs + self.postnet(
+                before_outs, deterministic=True, mask=valid
+            )
+
         if self.decoder_type == "diffsinger":
             x = self.decoder.inference(hs_up, h_masks)
-            after_outs = x.reshape(B, -1, self.odim)
+            after_outs = x.reshape(B, -1, self.odim)  # no postnet by design
         elif self.decoder_type == "prodiff":
             x = self.decoder(hs_up, None, h_masks, is_inference=True)
             before_outs = x.reshape(B, -1, self.odim)
-            if self.postnet is None:
-                after_outs = before_outs
-            else:
-                after_outs = before_outs + self.postnet(
-                    before_outs, deterministic=True
-                )
+            after_outs = _postnet_masked(before_outs)
         else:
             zs, _ = self.decoder(hs_up, h_masks, deterministic=True)
             before_outs = self.feat_out(zs).reshape(B, -1, self.odim)
-            if self.postnet is None:
-                after_outs = before_outs
-            else:
-                after_outs = before_outs + self.postnet(
-                    before_outs, deterministic=True
-                )
+            after_outs = _postnet_masked(before_outs)
 
         return {
             "outs": after_outs,

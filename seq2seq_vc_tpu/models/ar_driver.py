@@ -122,16 +122,25 @@ class ChunkedARDecoder:
 
     def _postnet(self, sizes_key):
         """Concat-the-chunks + postnet as ONE jitted dispatch, keyed by the
-        tuple of chunk frame-lengths (few distinct tuples: schedule prefixes)."""
+        tuple of chunk frame-lengths (few distinct tuples: schedule
+        prefixes). The final state rides along so the per-item valid
+        lengths can mask the dead tail (frames generated past each item's
+        stop) to zero before the postnet convs — exactly the zero padding
+        the reference's exact-length postnet sees."""
         fn = self._post_fns.get(sizes_key)
         if fn is None:
             import jax.numpy as jnp
 
-            def post(p, *outs_c):
+            def post(p, st, *outs_c):
                 o = outs_c[0] if len(outs_c) == 1 else jnp.concatenate(
                     outs_c, axis=1
                 )
-                return self.model.apply(p, o, method=self.cls.decode_postnet)
+                lens = self.model.apply(
+                    p, st, self.maxr, method=self.cls.decode_out_lens
+                )
+                return self.model.apply(
+                    p, o, lens, method=self.cls.decode_postnet
+                )
 
             fn = jax.jit(post)
             self._post_fns[sizes_key] = fn
@@ -185,7 +194,7 @@ class ChunkedARDecoder:
 
         sizes_key = tuple(o.shape[1] for o in outs_c)
         return {
-            "outs": self._postnet(sizes_key)(params, *outs_c),
+            "outs": self._postnet(sizes_key)(params, st, *outs_c),
             "probs": probs_c[0] if len(probs_c) == 1
             else jnp.concatenate(probs_c, axis=1),
             "att_ws": att_c[0] if len(att_c) == 1

@@ -115,11 +115,25 @@ class ChunkedARDecodeMixin:
         att = att.transpose(1, 2, 3, 0, 4)
         return new_state, outs, probs, att
 
-    def decode_postnet(self, outs):
-        """Postnet refinement over the host-assembled frame sequence."""
+    def decode_postnet(self, outs, out_lens=None):
+        """Postnet refinement over the host-assembled frame sequence.
+
+        ``out_lens`` (B,) valid frame counts: frames past an item's stop
+        point are DEAD (the scan keeps generating after ``finished``), and
+        the postnet convs would smear them into the last valid frames
+        within the kernel's receptive field. The reference applies its
+        postnet to exactly the generated frames (reference
+        ``vtn.py:382-388``), i.e. with zero conv padding beyond the stop —
+        masking the dead tail to zero before the convs reproduces that
+        exactly (measured: an unmasked tail costs ~0.5 dB cross-framework
+        MCD on decoded waveforms; scripts/e2e_parity.py round 5)."""
         if self.postnet is None:
             return outs
-        return outs + self.postnet(outs, deterministic=True)
+        if out_lens is None:
+            return outs + self.postnet(outs, deterministic=True)
+        valid = jnp.arange(outs.shape[1])[None, :] < out_lens[:, None]
+        outs = jnp.where(valid[..., None], outs, 0.0)
+        return outs + self.postnet(outs, deterministic=True, mask=valid)
 
     def decode_out_lens(self, state: Dict[str, Any], maxlenratio: float):
         """Final per-item output step counts (in frames, i.e. *r)."""

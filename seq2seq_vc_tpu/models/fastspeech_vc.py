@@ -348,7 +348,17 @@ class FastSpeechVC(nn.Module):
         zs, _ = self.decoder(hs_up, d_masks, deterministic=True)
         B = zs.shape[0]
         before_outs = self.feat_out(zs).reshape(B, -1, self.odim)
-        after_outs = before_outs + self.postnet(before_outs, deterministic=True)
+        # zero frames past each item's predicted length before the postnet
+        # convs — the reference decodes at the exact regulated length, so
+        # its postnet conv padding past the end is zeros (see
+        # models/aas_vc.py inference for the same reference-parity masking)
+        valid = jnp.arange(before_outs.shape[1])[None, :] < (
+            out_lens * self.decoder_reduction_factor
+        )[:, None]
+        before_outs = jnp.where(valid[..., None], before_outs, 0.0)
+        after_outs = before_outs + self.postnet(
+            before_outs, deterministic=True, mask=valid
+        )
         return {
             "outs": after_outs,
             "d_outs": d_outs,

@@ -238,9 +238,11 @@ class TransformerTTS(ChunkedARDecodeMixin, nn.Module):
             body, init, jnp.arange(maxlen)
         )
         outs = outs.transpose(1, 0, 2, 3).reshape(B, maxlen * r, self.odim)
-        outs = outs + self.postnet(outs, deterministic=True)
-        att = att.transpose(1, 2, 3, 0, 4)
         out_len = jnp.where(finished, out_len, maxlen_b)
+        # zero the dead tail before the postnet convs (see
+        # ChunkedARDecodeMixin.decode_postnet — reference-parity masking)
+        outs = self.decode_postnet(outs, out_len * r)
+        att = att.transpose(1, 2, 3, 0, 4)
         return {
             "outs": outs,
             "probs": probs.transpose(1, 0, 2).reshape(B, maxlen * r),

@@ -337,10 +337,14 @@ class VTN(ChunkedARDecodeMixin, nn.Module):
         )
         # outs: (maxlen, B, r, odim) -> (B, maxlen*r, odim)
         outs = outs.transpose(1, 0, 2, 3).reshape(B, maxlen * r, self.odim)
-        outs = outs + self.postnet(outs, deterministic=True)
+        out_len = jnp.where(finished, out_len, maxlen_b)
+        # mask the dead tail (frames generated past each item's stop) to
+        # zero before the postnet convs — the reference postnet sees
+        # exactly the generated frames (vtn.py:382-388), so its conv
+        # padding past the stop is zeros, not dead frames
+        outs = self.decode_postnet(outs, out_len * r)
         # att: (maxlen, L, B, H, Tmem) -> (L, B, H, maxlen, Tmem)
         att = att.transpose(1, 2, 3, 0, 4)
-        out_len = jnp.where(finished, out_len, maxlen_b)
         return {
             "outs": outs,
             "probs": probs.transpose(1, 0, 2).reshape(B, maxlen * r),

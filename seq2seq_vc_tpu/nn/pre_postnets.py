@@ -50,8 +50,23 @@ class Postnet(nn.Module):
     dtype: Any = None  # computation dtype (norm stats fp32; output fp32)
 
     @nn.compact
-    def __call__(self, xs, deterministic: bool = True):
-        """xs: (B, T, odim) -> (B, T, odim) residual refinement (not added)."""
+    def __call__(self, xs, deterministic: bool = True, mask=None):
+        """xs: (B, T, odim) -> (B, T, odim) residual refinement (not added).
+
+        ``mask`` (B, T) bool valid-frame mask, DECODE-path only: invalid
+        positions are re-zeroed after EVERY layer so each conv sees zeros
+        past the boundary — exactly the per-layer zero padding the
+        reference's exact-length decode postnet sees (masking only the
+        input is NOT enough: layer 1's conv output just past the boundary
+        is nonzero because it reads the last valid frames, and layer 2
+        would smear it back in). With group_norm the statistics also
+        ignore invalid frames, so decode outputs are invariant to the
+        static padded-buffer size. Training call sites pass no mask on
+        purpose — the reference's train-mode postnet reads padded frames
+        (its norm sees them too), and the teacher-forcing forward parity
+        tests pin that behavior."""
+        from .conformer import MaskedGroupNorm
+
         h = xs if self.dtype is None else xs.astype(self.dtype)
         for layer in range(self.n_layers):
             is_last = layer == self.n_layers - 1
@@ -62,7 +77,12 @@ class Postnet(nn.Module):
             )(h)
             if self.use_norm:
                 if self.norm_type == "group_norm":
-                    h = nn.GroupNorm(num_groups=1, dtype=self.dtype)(h)
+                    # named to keep the nn.GroupNorm checkpoint/converter
+                    # layout; epsilon matches flax GroupNorm's default, so
+                    # mask=None is numerically the previous behavior
+                    h = MaskedGroupNorm(
+                        epsilon=1e-6, name=f"GroupNorm_{layer}"
+                    )(h, mask)
                 elif self.norm_type == "batch_norm":
                     h = nn.BatchNorm(use_running_average=deterministic)(h)
                 else:
@@ -70,4 +90,6 @@ class Postnet(nn.Module):
             if not is_last:
                 h = nn.tanh(h)
             h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+            if mask is not None:
+                h = jnp.where(mask[..., None], h, 0.0)
         return h.astype(xs.dtype)

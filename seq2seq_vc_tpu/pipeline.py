@@ -372,13 +372,19 @@ class Wav2WavARConverter:
         from .vocoder.hifigan import chunked_generate
 
         model, cls, vocoder = self.model, type(self.model), self.vocoder
+        maxr = self.driver.maxr
 
         @jax.jit
-        def pipe(mp, vp, *outs_c):
+        def pipe(mp, vp, st, *outs_c):
             o = outs_c[0] if len(outs_c) == 1 else jnp.concatenate(
                 outs_c, axis=1
             )
-            after = model.apply(mp, o, method=cls.decode_postnet)
+            # per-item valid lengths from the decode state (device-side, no
+            # host sync): the postnet masks the dead tail to zero — same
+            # reference-parity masking as the serial driver path, so the
+            # winning speculation stays bit-identical to it
+            lens = model.apply(mp, st, maxr, method=cls.decode_out_lens)
+            after = model.apply(mp, o, lens, method=cls.decode_postnet)
             feats = after * self._trg_scale + self._trg_mean
             feats = (feats - self._voc_mean) / self._voc_scale
             return jax.vmap(lambda m: chunked_generate(vocoder, vp, m))(feats)
@@ -437,7 +443,7 @@ class Wav2WavARConverter:
         def on_chunk(si, outs_list, st):
             fn = self._stream_fn(tuple(o.shape[1] for o in outs_list))
             spec[len(outs_list)] = fn(
-                self.model_params, self.vocoder_params, *outs_list
+                self.model_params, self.vocoder_params, st, *outs_list
             )
 
         out = self.driver(

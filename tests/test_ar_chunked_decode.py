@@ -40,8 +40,8 @@ def _chunked(model, params, xs, ilens, key, thr, minr, maxr, chunk):
         if bool(np.asarray(st["finished"]).all()):
             break
     outs = jnp.concatenate(outs_c, axis=1)
-    outs = model.apply(params, outs, method=VTN.decode_postnet)
     out_lens = model.apply(params, st, maxr, method=VTN.decode_out_lens)
+    outs = model.apply(params, outs, out_lens, method=VTN.decode_postnet)
     return (np.asarray(outs), np.concatenate([np.asarray(p) for p in probs_c], 1),
             np.asarray(out_lens), n_chunks, maxlen)
 
@@ -64,15 +64,14 @@ def test_chunked_decode_matches_inference_and_exits_early():
     np.testing.assert_allclose(
         got_probs, np.asarray(ref["probs"])[:, :L], atol=1e-6
     )
-    # postnet sees fewer context frames near the cut; compare the interior
+    # decode_postnet masks the dead tail past each item's stop to zero in
+    # BOTH paths (reference-parity masking), so the postnet sees identical
+    # inputs regardless of buffer length: the FULL valid prefix matches
     for b in range(xs.shape[0]):
         n = int(got_lens[b])
-        if n > 16:
-            np.testing.assert_allclose(
-                got_outs[b, : n - 16],
-                np.asarray(ref["outs"])[b, : n - 16],
-                atol=1e-4,
-            )
+        np.testing.assert_allclose(
+            got_outs[b, :n], np.asarray(ref["outs"])[b, :n], atol=1e-5,
+        )
     # early exit actually happened (budget is maxlenratio 6 = way more
     # chunks than needed)
     assert n_chunks * 8 < maxlen, (n_chunks, maxlen)
