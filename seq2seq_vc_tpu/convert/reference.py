@@ -586,12 +586,18 @@ def convert_aasvc(state_dict: Dict[str, Any], model) -> Dict[str, Any]:
             model.stochastic_duration_predictor_dds_conv_layers,
         )
     if not model.duration_predictor_use_encoder_outputs:
+        # the reference builds this Conv2dSubsampling with use_pos_enc=False
+        # (aas_vc.py:194-196), so `out` is a BARE Linear ("...out.weight");
+        # encoder input layers use the Sequential form ("...out.0.weight")
+        dp_out = (
+            "duration_predictor_projection.out.0"
+            if sd.has("duration_predictor_projection.out.0.weight")
+            else "duration_predictor_projection.out"
+        )
         params["duration_predictor_projection"] = {
             "Conv_0": _conv2d(sd, "duration_predictor_projection.conv.0"),
             "Conv_1": _conv2d(sd, "duration_predictor_projection.conv.2"),
-            "Dense_0": _subsample_out_linear(
-                sd, "duration_predictor_projection.out.0", model.adim
-            ),
+            "Dense_0": _subsample_out_linear(sd, dp_out, model.adim),
         }
 
     params["alignment_module"] = _alignment_module(sd, "alignment_module")
@@ -666,12 +672,18 @@ def convert_fastspeech_vc(state_dict: Dict[str, Any], model) -> Dict[str, Any]:
         sd, "duration_predictor", model.duration_predictor_layers
     )
     if not model.duration_predictor_use_encoder_outputs:
+        # the reference builds this Conv2dSubsampling with use_pos_enc=False
+        # (aas_vc.py:194-196), so `out` is a BARE Linear ("...out.weight");
+        # encoder input layers use the Sequential form ("...out.0.weight")
+        dp_out = (
+            "duration_predictor_projection.out.0"
+            if sd.has("duration_predictor_projection.out.0.weight")
+            else "duration_predictor_projection.out"
+        )
         params["duration_predictor_projection"] = {
             "Conv_0": _conv2d(sd, "duration_predictor_projection.conv.0"),
             "Conv_1": _conv2d(sd, "duration_predictor_projection.conv.2"),
-            "Dense_0": _subsample_out_linear(
-                sd, "duration_predictor_projection.out.0", model.adim
-            ),
+            "Dense_0": _subsample_out_linear(sd, dp_out, model.adim),
         }
 
     if model.decoder_type == "transformer":

@@ -257,6 +257,74 @@ def test_aasvc_forward_parity(normalize_before):
     )
 
 
+def test_aasvc_dp_projection_forward_parity():
+    """``duration_predictor_use_encoder_outputs=False`` (the l2-arctic
+    'lsc' recipe family): the separately conv2d-subsampled dp features —
+    reference Conv2dSubsampling built with ``use_pos_enc=False``, i.e. a
+    BARE ``out`` Linear (aas_vc.py:194-196) — and the nearest
+    interpolation onto the encoder grid (aas_vc.py:334-351) must match.
+    Guards the converter's dp-projection key layout (the round-5
+    released-checkpoint rehearsal caught it assuming the encoder input
+    layer's ``out.0`` Sequential form here)."""
+    from seq2seq_vc.models.aas_vc import AASVC as RefAASVC
+
+    from seq2seq_vc_tpu.models import AASVC
+
+    cfg = dict(
+        idim=20, odim=20, adim=32, aheads=2, elayers=2, dlayers=2,
+        eunits=64, dunits=64, postnet_layers=0,
+        duration_predictor_type="deterministic",
+        duration_predictor_chans=48,
+        duration_predictor_use_encoder_outputs=False,
+        duration_predictor_input_dim=24,
+        conformer_enc_kernel_size=7, conformer_dec_kernel_size=7,
+        encoder_input_layer="linear",
+        encoder_normalize_before=True, decoder_normalize_before=True,
+        use_cnn_in_conformer=False,
+        post_encoder_reduction_factor=2,
+    )
+    torch.manual_seed(14)
+    ref = RefAASVC(**cfg)
+    ref.eval()
+    ours = AASVC(**cfg)
+    variables = convert_aasvc(ref.state_dict(), ours)
+
+    rng = np.random.default_rng(15)
+    B, Tin, Tout, Tdp = 2, 16, 30, 26
+    xs = rng.standard_normal((B, Tin, 20)).astype(np.float32)
+    ys = rng.standard_normal((B, Tout, 20)).astype(np.float32)
+    dp = rng.standard_normal((B, Tdp, 24)).astype(np.float32)
+    ilens = np.array([Tin, Tin])
+    olens = np.array([Tout, Tout])
+    dlens = np.array([Tdp, Tdp])
+
+    with torch.no_grad():
+        r = ref(
+            torch.from_numpy(xs), torch.from_numpy(ilens),
+            torch.from_numpy(ys), torch.from_numpy(olens),
+            dp_inputs=torch.from_numpy(dp),
+            dp_lengths=torch.from_numpy(dlens),
+        )
+
+    out = ours.apply(
+        variables, jnp.asarray(xs), jnp.asarray(ilens), jnp.asarray(ys),
+        jnp.asarray(olens), dp_inputs=jnp.asarray(dp), deterministic=True,
+        rngs={"dropout": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+    )
+    _masked_close(
+        r["d_outs"].numpy()[..., None], np.asarray(out["d_outs"])[..., None],
+        np.asarray(out["ilens"]), label="d_outs",
+    )
+    _masked_close(
+        r["log_p_attn"].numpy(), out["log_p_attn"], np.asarray(olens),
+        label="log_p_attn",
+    )
+    _masked_close(
+        r["before_outs"].numpy(), out["before_outs"], np.asarray(olens),
+        label="before",
+    )
+
+
 def test_aasvc_inference_parity():
     """NAR inference with the deterministic duration predictor matches the
     reference decode (aas_vc.py:531-603) on a full-length input."""
