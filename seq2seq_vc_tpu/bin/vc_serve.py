@@ -169,18 +169,37 @@ class ConversionService:
         self._n += 1
         return jax.random.PRNGKey(self._n)
 
+    def busy(self) -> bool:
+        """True while a device program is in flight or requests are queued.
+
+        The idle watchdog must not count a long-running request as idleness:
+        the FIRST request at a new batch shape compiles for minutes over the
+        remote-compile tunnel, and a watchdog that only looks at
+        ``last_activity`` (stamped at request START) would shut the server
+        down mid-request (observed: scripts/bench_serve_load.py smoke run —
+        a 182 s first micro-batch compile outlived a 45 s idle bound and the
+        remaining clients got connection-refused)."""
+        if self._lock.locked():
+            return True
+        return self._queue is not None and not self._queue.empty()
+
     def _run(self, audio):
         """Convert one waveform; returns (wav, batch_size_it_rode_in)."""
         self.last_activity = time.time()
-        if self._queue is None:
-            with self._lock:
-                return self.converter(audio, rng=self._next_rng()), 1
-        req = _Request(audio)
-        self._queue.put(req)
-        req.event.wait()
-        if req.error is not None:
-            raise req.error
-        return req.result, req.batch_n
+        try:
+            if self._queue is None:
+                with self._lock:
+                    return self.converter(audio, rng=self._next_rng()), 1
+            req = _Request(audio)
+            self._queue.put(req)
+            req.event.wait()
+            if req.error is not None:
+                raise req.error
+            return req.result, req.batch_n
+        finally:
+            # stamp the END too: idleness is measured from the last moment
+            # the server finished doing something, not from request arrival
+            self.last_activity = time.time()
 
     def _dispatch_loop(self):
         while True:
@@ -325,6 +344,8 @@ def serve_tcp(service: ConversionService, host: str, port: int,
             def _watchdog():
                 while True:
                     time.sleep(min(30.0, max_idle_seconds / 2))
+                    if service.busy():  # in-flight program != idle
+                        continue
                     idle = time.time() - service.last_activity
                     if idle > max_idle_seconds:
                         logging.info(

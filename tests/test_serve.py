@@ -180,6 +180,40 @@ def test_tcp_idle_watchdog_exits_and_drains(tmp_path):
     assert ready.get("done"), "idle watchdog did not shut the server down"
 
 
+def test_idle_watchdog_spares_inflight_requests():
+    """A request that outlives --max-idle-seconds (e.g. a minutes-long
+    first-bucket compile over the remote tunnel) must NOT count as idleness:
+    last_activity is stamped at request start, so without the busy() guard
+    the watchdog killed the server mid-request (observed in the
+    bench_serve_load smoke run: a 182 s first micro-batch compile vs a 45 s
+    idle bound -> connection refused for every later client)."""
+    import threading
+    import time as _time
+
+    class _SlowConverter:
+        def __call__(self, audio, rng=None):
+            _time.sleep(1.2)
+            return audio
+
+    svc = ConversionService(_SlowConverter(), 16000)
+    done = {}
+
+    def _req():
+        done["out"] = svc._run(np.zeros(16, np.float32))
+
+    t = threading.Thread(target=_req, daemon=True)
+    t.start()
+    _time.sleep(0.2)
+    # mid-request: the service must report busy and never look idle enough
+    # for a 0.5 s watchdog to fire
+    assert svc.busy()
+    t.join(timeout=10.0)
+    assert done["out"][1] == 1
+    assert not svc.busy()
+    # after completion, idleness is measured from the request END
+    assert _time.time() - svc.last_activity < 1.0
+
+
 def _tiny_voc():
     gen_cfg = dict(
         in_channels=8, upsample_channels=8,
