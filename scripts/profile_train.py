@@ -222,6 +222,22 @@ def main():
     except Exception as e:  # pragma: no cover
         print("cost_analysis failed:", e)
         flops, bytes_ = 0.0, 0.0
+    # HBM high-water (long-context ablations, VERDICT r4 #2): XLA's static
+    # allocation plan. peak = args + outputs + temps (donation aliases args
+    # onto outputs, so params/opt_state are counted once).
+    mem = {}
+    try:
+        ma = compiled.memory_analysis()
+        for k in (
+            "argument_size_in_bytes", "output_size_in_bytes",
+            "temp_size_in_bytes", "alias_size_in_bytes",
+            "peak_memory_in_bytes",
+        ):
+            v = getattr(ma, k, None)
+            if v is not None:
+                mem[k.replace("_in_bytes", "_GB")] = round(v / 1e9, 3)
+    except Exception as e:  # pragma: no cover
+        print("memory_analysis failed:", e)
 
     # warm up / compile
     t0 = time.time()
@@ -267,6 +283,7 @@ def main():
         "hbm_GB": round(bytes_ / 1e9, 2),
         "hbm_GBps": round(bytes_ / dt / 1e9, 1),
         "mel_frames_per_s": round(frames / dt, 1),
+        "mem": mem,
     }))
 
 
