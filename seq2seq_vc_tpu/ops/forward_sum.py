@@ -128,6 +128,13 @@ def forward_sum_loss(
             ``term - stop_gradient(term)`` whose gradient is the offset —
             loss VALUES are identical under both settings.
 
+            Which to train with? Measured (docs/E2E_PARITY.md,
+            "grad_semantics A/B", 300-step horizon): a model retrained
+            with ``"true"`` lands +0.07 dB MCD-vs-GT from the reference
+            and its waveform delta sits inside the training-chaos
+            envelope — the quirk neither costs nor buys quality, so the
+            default stays ``"torch"``: parity is free.
+
     Returns:
         Scalar: mean over batch of per-item loss / target length (the
         reference's ``F.ctc_loss`` 'mean' reduction semantics), with
