@@ -208,18 +208,24 @@ def _banded_vmem_estimate(b2: int, t_pad: int, qw: int, esz: int) -> int:
 
 
 def _pick_banded_block(b: int, t_pad: int, qw: int, esz: int, limit: int):
-    """Largest 128-aligned tile <= b dividing t_pad that fits the limit.
+    """Largest 128-multiple tile <= b dividing t_pad that fits the limit.
 
-    None = even the smallest tile doesn't fit (table-grad residency
-    dominates at large t_pad*qw) -> caller falls back to the xla backward.
+    The tile is the LAST dim of the kernel's (1, b2, b2) g block, and the
+    Pallas TPU lowering requires last block dims to be multiples of 128
+    (or equal to the array dim) — a sub-128 tile is a lowering error, not
+    a slower kernel (observed: b2=64 at B2 x T2048, where the small
+    batch*heads product let the VMEM budget press the tile below 128).
+
+    None = no legal tile fits (table-grad residency dominates at large
+    t_pad*qw) -> caller falls back to the xla backward.
     """
-    cand = b
-    while cand >= 1:
+    cand = (b // 128) * 128
+    while cand >= 128:
         if t_pad % cand == 0 and _banded_vmem_estimate(
             cand, t_pad, qw, esz
         ) <= limit:
             return cand
-        cand = cand - 128 if cand > 128 else cand // 2
+        cand -= 128
     return None
 
 

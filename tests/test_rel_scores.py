@@ -106,6 +106,34 @@ def test_banded_bwd_vmem_repick(limit):
         np.testing.assert_allclose(b, a, atol=5e-4)
 
 
+def test_banded_bwd_tile_never_below_128():
+    """Sub-128 tiles are a Pallas TPU LOWERING ERROR, not a slower kernel:
+    the last dim of the (1, b2, b2) g block must be a multiple of 128.
+    Observed on chip (B2 x T2048 long-context sweep, decoder qw=768,
+    default 14 MiB budget): the picker descended 128 -> 64, which 'fit'
+    the VMEM estimate and crashed mosaic lowering. When no 128-multiple
+    fits, the answer is None (xla fallback), never a smaller tile.
+    """
+    from seq2seq_vc_tpu.ops.rel_scores import (
+        _banded_vmem_estimate,
+        _pick_banded_block,
+    )
+
+    lim = 14 * 2**20
+    # the failing shape: decoder width at T2048 — even 128 exceeds the
+    # budget (dtab residency alone is 2*2048*768*4 = 12 MiB)
+    assert _banded_vmem_estimate(128, 2048, 768, 4) > lim
+    assert _pick_banded_block(512, 2048, 768, 4, lim) is None
+    # encoder width at the same T stays banded with a legal tile
+    got = _pick_banded_block(512, 2048, 192, 4, lim)
+    assert got is not None and got % 128 == 0 and 2048 % got == 0
+    # sweep: whatever the budget, the pick is None or a legal 128-multiple
+    for budget in (4096, 2**18, 2**20, 2**22, 2**24, 2**26):
+        for t_pad, qw in ((256, 128), (768, 768), (2048, 768), (4096, 192)):
+            b2 = _pick_banded_block(512, t_pad, qw, 4, budget)
+            assert b2 is None or (b2 % 128 == 0 and t_pad % b2 == 0)
+
+
 def test_auto_bwd_gate_resolution(monkeypatch):
     """bwd='auto' resolves to banded at T >= AUTO_BANDED_MIN_LEN, xla below
     (the chip-measured crossover), and both legs still match dense."""
