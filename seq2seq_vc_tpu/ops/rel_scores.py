@@ -59,6 +59,38 @@ from .flash_attention import (
 # band matters.
 AUTO_BANDED_MIN_LEN = int(os.environ.get("S2S_REL_SCORES_AUTO_MIN_LEN", "768"))
 
+# banded-backward length CAP (padded T). At t_pad >= 3072 the banded
+# pallas_call compile-OOMs VMEM on the chip at small batch: XLA
+# stack-allocates the custom call's output tuple (dqv + the reversed table
+# gradient) in VMEM when no element is HBM-large, and at B2 the long-T
+# tuple (observed: bf16[4,3072,256] + f32[2,6144,256] = 18.9 MB, and the
+# same at T4096) exceeds what is left beside the kernel's scoped window
+# ("Ran out of memory in memory space vmem while allocating on stack",
+# long-context sweep r5). Per-call output sizes do NOT predict the failure
+# (B2xT1024's decoder call has byte-identical outputs and runs fine), so
+# the gate is the chip-measured length boundary: every observed OOM is at
+# t_pad >= 3072, every working measurement at t_pad <= 2048 — and
+# production never routes T >= 3072 here anyway (attention falls to the
+# flash kernels at FLASH_MIN_LEN). Above the cap the backward falls back
+# to the xla band-rebuild. Tune via S2S_REL_SCORES_BANDED_MAX_LEN.
+BANDED_MAX_LEN = int(os.environ.get("S2S_REL_SCORES_BANDED_MAX_LEN", "3072"))
+
+
+def _resolve_bwd(bwd: str, t: int, t_pad: int, interpret: bool) -> str:
+    """Resolve the backward variant OUTSIDE the jit boundary (static key).
+
+    'auto' length-gates on the raw T (the chip-measured xla/banded
+    crossover); a resolved/explicit 'banded' is then capped at
+    BANDED_MAX_LEN padded frames on real hardware (VMEM stack-placement
+    OOM — see the constant's comment). Interpret mode (CPU tests) skips
+    the cap so the kernel stays exercised at any length.
+    """
+    if bwd == "auto":
+        bwd = "banded" if t >= AUTO_BANDED_MIN_LEN else "xla"
+    if bwd == "banded" and not interpret and t_pad >= BANDED_MAX_LEN:
+        bwd = "xla"
+    return bwd
+
 
 def _fwd_kernel(qu_ref, qv_ref, k_ref, plo_ref, phi_ref, s_ref, *, block, scale):
     s, _ = _rel_scores(
@@ -500,7 +532,10 @@ def fused_rel_scores(
             194.1 vs 206.9 ms/step at B16xT960 but a wash at T512
             (76.7 vs 76.0) — banded at T >= 768, xla below), or 'pallas'
             (the legacy diagonal-reduction pair — catastrophic on the
-            chip, kept for A/B history).
+            chip, kept for A/B history). On real hardware a (resolved or
+            explicit) 'banded' additionally falls back to 'xla' at
+            t_pad >= BANDED_MAX_LEN (VMEM stack-placement compile OOM —
+            see the constant's comment).
         bwd_vmem_limit: scoped-VMEM budget (bytes) the banded backward's
             tile picker targets (None = $S2S_REL_SCORES_BWD_VMEM, default
             14 MiB — headroom under the 16 MiB hardware scoped limit);
@@ -518,8 +553,11 @@ def fused_rel_scores(
     # the same shapes (advisor finding r4)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    if bwd == "auto":
-        bwd = "banded" if q_u.shape[2] >= AUTO_BANDED_MIN_LEN else "xla"
+    # mirror the jit body's tile clamp/padding so the banded length cap
+    # sees the padded T (the quantity the compile-time OOM depends on)
+    t = q_u.shape[2]
+    t_pad = _round_up(t, min(block, _round_up(t, 128)))
+    bwd = _resolve_bwd(bwd, t, t_pad, interpret)
     if bwd_vmem_limit is None:
         bwd_vmem_limit = int(
             os.environ.get("S2S_REL_SCORES_BWD_VMEM", str(14 * 2**20))

@@ -158,6 +158,29 @@ def test_auto_bwd_gate_resolution(monkeypatch):
     assert picked == ["xla", "banded"]
 
 
+def test_banded_max_len_cap():
+    """On real hardware, banded falls back to xla at t_pad >= BANDED_MAX_LEN
+    (chip-observed VMEM stack-placement compile OOM at B2 x T>=3072 —
+    long-context sweep r5); interpret mode (CPU tests) keeps the kernel
+    exercised at any length. The cap sees the PADDED T: with the default
+    512 tile, T=2816 pads to 3072 and must be capped too."""
+    from seq2seq_vc_tpu.ops.rel_scores import _resolve_bwd
+
+    # real hardware (interpret=False): cap applies to banded, incl. via auto
+    assert _resolve_bwd("banded", 3072, 3072, False) == "xla"
+    assert _resolve_bwd("banded", 2816, 3072, False) == "xla"  # padded up
+    assert _resolve_bwd("auto", 4096, 4096, False) == "xla"
+    assert _resolve_bwd("banded", 2048, 2048, False) == "banded"
+    assert _resolve_bwd("auto", 960, 1024, False) == "banded"
+    assert _resolve_bwd("auto", 512, 512, False) == "xla"  # below auto gate
+    # interpret mode: cap skipped, auto gate still applies
+    assert _resolve_bwd("banded", 4096, 4096, True) == "banded"
+    assert _resolve_bwd("auto", 4096, 4096, True) == "banded"
+    # other variants untouched
+    assert _resolve_bwd("xla", 4096, 4096, False) == "xla"
+    assert _resolve_bwd("pallas", 4096, 4096, False) == "pallas"
+
+
 @pytest.mark.parametrize("bwd", ["xla", "pallas", "banded", "auto"])
 def test_module_fused_backend_matches_xla(bwd, monkeypatch):
     import seq2seq_vc_tpu.nn.attention as attn_mod
