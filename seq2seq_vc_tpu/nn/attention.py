@@ -306,14 +306,19 @@ class RelPositionMultiHeadedAttention(nn.Module):
                 _merge_heads(out)
             )
 
-        # 'flash' and 'fused' are both best-of routes under the measured
-        # length gate: at T >= flash_train_min_len the flash kernels win
-        # (score tensors approach HBM limits); below it the fused-scores
-        # kernel wins over the dense band (chip A/B: 76.4 vs 84.1 ms/step
-        # at the B16xT512 flagship), so each backend falls through to the
-        # other regime's kernel when eligible.
+        # Best-of routing, chip-measured (full train step, B2, bf16 —
+        # docs/LONGCONTEXT.md): the fused-scores kernel is the FASTEST
+        # variant at every measured long T (114.8 vs xla 126.2 / flash
+        # 148.6 ms at T2048; 236.4 vs 276.8 / 316.8 at T3072; 362.4 vs
+        # 423.3 / 485.8 at T4096), so 'fused' never reroutes to flash.
+        # 'flash' keeps its memory-lean semantics: at T >=
+        # flash_train_min_len it takes the flash kernels (temp memory
+        # ~40-50% below fused — 4.3 vs 7.0 GB at T3072 — the
+        # OOM-avoidance path the shipped confs rely on at batch scale),
+        # and below the gate falls through to fused, which also wins
+        # there (76.4 vs 84.1 ms/step dense at the B16xT512 flagship).
         if (
-            self.backend in ("flash", "fused")
+            self.backend == "flash"
             and not self.zero_triu
             and not return_weights
             and key.shape[1] >= self.flash_train_min_len
