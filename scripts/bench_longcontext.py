@@ -78,8 +78,15 @@ def run_variant(batch, frames, name, iters, timeout_s):
             except json.JSONDecodeError:
                 pass
     blob = (p.stdout + p.stderr)[-4000:]
-    if "RESOURCE_EXHAUSTED" in blob or "Out of memory" in blob.lower() or (
-        "oom" in blob.lower() and "allocat" in blob.lower()
+    low = blob.lower()
+    if (
+        "RESOURCE_EXHAUSTED" in blob
+        or "out of memory" in low
+        or "ran out of memory" in low
+        # HBM allocator post-mortem table (the exception header can be
+        # outside the captured tail): unmistakable OOM signature
+        or "allocation type: hlo temp" in low
+        or ("oom" in low and "allocat" in low)
     ):
         row["oom"] = True
         # surface the allocator's ask if present
