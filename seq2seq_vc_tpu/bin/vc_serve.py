@@ -241,6 +241,17 @@ class ConversionService:
             t0 = time.time()
             self.converter(np.zeros(int(self.sr * s), np.float32))
             logging.info("warmup %.1fs bucket: %.1fs", s, time.time() - t0)
+            # output lengths are stochastic (SDP / AR stop), so requests
+            # land on synthesis buckets the zero-input warmup never saw —
+            # precompile the whole geometric ladder for this input bucket
+            # (a cold synth length is a ~30-50 s remote compile on axon;
+            # it dominated serve p50 before this: 31 s/request measured)
+            t0 = time.time()
+            n = self.converter.warmup_synth()
+            logging.info(
+                "warmup %.1fs synth ladder (%d buckets): %.1fs",
+                s, n, time.time() - t0,
+            )
             if self.max_batch > 1:
                 t0 = time.time()
                 self.converter.convert_batch(

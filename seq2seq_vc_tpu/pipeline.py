@@ -23,6 +23,37 @@ from .models import AASVC
 from .vocoder.hifigan import HifiganGenerator
 
 
+def _geom_bucket(n_frames: int, cap: int, base: int) -> int:
+    """Geometric synthesis-length bucket: smallest ``base * 2^k`` >=
+    ``n_frames``, capped at ``cap`` (the feats budget).
+
+    Output lengths vary per request (stochastic duration predictors, AR
+    stop decisions), and every NEW synthesis length is a fresh vocoder
+    jit compile — ~30-50 s over the axon remote-compile tunnel, which
+    DOMINATED serve latency with linear ``bucket_frames`` multiples
+    (measured r5: vc_serve p50 31 s/request at concurrency 1 — nearly
+    every request compiled). A power-of-two ladder bounds the program
+    count to ~log2(max_out/base) (+the cap itself), so ``warmup_synth``
+    can precompile all of it; the <2x chunked-vocoder overshoot costs
+    ~RTF 0.006 of extra compute, three orders of magnitude below one
+    compile."""
+    b = base
+    while b < min(n_frames, cap):
+        b *= 2
+    return min(b, cap)
+
+
+def _synth_ladder(cap: int, base: int):
+    """All bucket lengths ``_geom_bucket`` can produce for a given cap."""
+    out = []
+    b = base
+    while b < cap:
+        out.append(b)
+        b *= 2
+    out.append(cap)
+    return out
+
+
 class Wav2WavConverter:
     """End-to-end NAR VC + HiFi-GAN converter, fully on device.
 
@@ -151,10 +182,9 @@ class Wav2WavConverter:
         # bucket near the TRUE output length instead of the worst-case
         # decode budget (2x input) — vocoder work tracks actual audio.
         self.last_out_frames = max(1, int(out_len))
-        n_bucket = min(
-            feats.shape[0],
-            ((self.last_out_frames + self.bucket_frames - 1)
-             // self.bucket_frames) * self.bucket_frames,
+        self.last_synth_cap = int(feats.shape[0])
+        n_bucket = _geom_bucket(
+            self.last_out_frames, feats.shape[0], self.bucket_frames
         )
         synth = self._get_synth_fn(n_bucket)
         wav = synth(self.vocoder_params, feats[:n_bucket])
@@ -234,18 +264,37 @@ class Wav2WavConverter:
         out_lens = np.asarray(out_lens)
 
         wavs = []
+        self.last_synth_cap = int(feats.shape[1])
         for i in range(B):
             n_frames_i = max(1, int(out_lens[i]))
-            n_bucket = min(
-                feats.shape[1],
-                ((n_frames_i + self.bucket_frames - 1) // self.bucket_frames)
-                * self.bucket_frames,
+            n_bucket = _geom_bucket(
+                n_frames_i, feats.shape[1], self.bucket_frames
             )
             synth = self._get_synth_fn(n_bucket)
             wav = synth(self.vocoder_params, feats[i, :n_bucket])
             n_samples = min(n_frames_i * self.hop_size, wav.shape[0])
             wavs.append(np.asarray(wav[:n_samples]))
         return wavs
+
+    def warmup_synth(self) -> int:
+        """Precompile the whole ``_geom_bucket`` synthesis ladder for the
+        most recent conversion's feats budget (call right after a warmup
+        conversion). A cold synthesis length costs a ~30-50 s remote
+        compile on axon; after this, no request whose input fits the
+        warmed analysis bucket ever retraces synthesis. Returns the
+        number of ladder buckets compiled."""
+        cap = int(getattr(self, "last_synth_cap", 0) or 0)
+        if cap <= 0:
+            return 0
+        d = int(getattr(self.model, "odim", self._trg_mean.shape[-1]))
+        n = 0
+        for b in _synth_ladder(cap, self.bucket_frames):
+            synth = self._get_synth_fn(b)
+            np.asarray(
+                synth(self.vocoder_params, jnp.zeros((b, d), jnp.float32))
+            )
+            n += 1
+        return n
 
 
 class Wav2WavARConverter:
@@ -470,12 +519,11 @@ class Wav2WavARConverter:
         # dispatch every item's synthesis before fetching any: the fetch of
         # item i then overlaps item i+1's device compute
         pending = []
+        self.last_synth_cap = int(feats_all.shape[1])
         for i in range(len(audios)):
             n_frames_i = max(1, int(out_lens[i]))
-            n_bucket = min(
-                feats_all.shape[1],
-                ((n_frames_i + self.bucket_frames - 1) // self.bucket_frames)
-                * self.bucket_frames,
+            n_bucket = _geom_bucket(
+                n_frames_i, feats_all.shape[1], self.bucket_frames
             )
             wav = synth(self.vocoder_params, feats_all[i, :n_bucket])
             pending.append((wav, n_frames_i))
@@ -483,6 +531,22 @@ class Wav2WavARConverter:
             np.asarray(wav[: min(n_frames_i * self.hop_size, wav.shape[0])])
             for wav, n_frames_i in pending
         ]
+
+    def warmup_synth(self) -> int:
+        """AR twin of ``Wav2WavConverter.warmup_synth`` (same ladder, same
+        per-shape-cached chunked HiFi-GAN jit)."""
+        cap = int(getattr(self, "last_synth_cap", 0) or 0)
+        if cap <= 0:
+            return 0
+        d = int(getattr(self.model, "odim", self._trg_mean.shape[-1]))
+        synth = self._synth_fn()
+        n = 0
+        for b in _synth_ladder(cap, self.bucket_frames):
+            np.asarray(
+                synth(self.vocoder_params, jnp.zeros((b, d), jnp.float32))
+            )
+            n += 1
+        return n
 
     def __call__(self, audio: np.ndarray, rng=None, stream_vocoder=None) -> np.ndarray:
         """audio (T,) float32 in [-1,1] -> converted waveform (T',)."""
