@@ -73,6 +73,8 @@ def main():
 
     params = jax.jit(_init)(dummy_x, dummy_y, 0)
     params = load_checkpoint(args.checkpoint, params)["model"]
+    # resident weights: no per-batch re-upload over the tunnel (r5)
+    params = jax.device_put(params)
 
     stats = None
     if args.stats:

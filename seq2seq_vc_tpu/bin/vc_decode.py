@@ -122,6 +122,11 @@ def main():
     )
     params = init_model_params(model, cfg_for_init, dummy)
     params = load_checkpoint(args.checkpoint, params)["model"]
+    # on-device once: host-numpy params passed as jit args re-upload the
+    # whole weight set over the axon tunnel on EVERY batch (measured r5 at
+    # serving: 15-30 s per call — see pipeline.Wav2WavConverter.__init__);
+    # the --data-parallel branch below re-places them replicated on a mesh
+    params = jax.device_put(params)
 
     vocoder = get_vocoder(config, trg_stats)
     inf_cfg = config.get("inference", {}) or {}

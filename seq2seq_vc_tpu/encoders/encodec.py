@@ -313,7 +313,8 @@ def load_encodec(checkpoint: str) -> Tuple[EncodecEncoder, Dict[str, Any]]:
         obj = obj.state_dict()
     if isinstance(obj, dict) and "state_dict" in obj:
         obj = obj["state_dict"]
-    return EncodecEncoder(), convert_torch_encodec(obj)
+    # resident weights: no per-utterance re-upload over the tunnel (r5)
+    return EncodecEncoder(), jax.device_put(convert_torch_encodec(obj))
 
 
 def encode(model: EncodecEncoder, params, wav: np.ndarray) -> np.ndarray:

@@ -125,7 +125,10 @@ class ASRTranscriber:
                     iv, attention_mask=am, params=p
                 ).logits
             )
-        logits = np.asarray(self._jit_fn(self.model.params, iv, am))
+            # resident weights: transformers leaves params as host numpy,
+            # which would re-upload ~300 MB over the tunnel per utterance
+            self._device_params = jax.device_put(self.model.params)
+        logits = np.asarray(self._jit_fn(self._device_params, iv, am))
         # valid output frames via the model's conv stack arithmetic
         nf = n
         for k, s in zip(self.model.config.conv_kernel, self.model.config.conv_stride):

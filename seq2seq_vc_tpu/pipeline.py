@@ -74,9 +74,14 @@ class Wav2WavConverter:
         bucket_frames: int = 128,
     ):
         self.model = model
-        self.model_params = model_params
+        # params live ON DEVICE, passed as jit arguments each call (never
+        # closed over — the axon hang class). Leaving them as host numpy
+        # re-uploads the whole weight set over the tunnel EVERY request:
+        # measured r5, this made each serve request 15-30 s (the CLAUDE.md
+        # "device_put before a timed loop" rule, bitten at serving scale).
+        self.model_params = jax.device_put(model_params)
         self.vocoder = vocoder
-        self.vocoder_params = vocoder_params
+        self.vocoder_params = jax.device_put(vocoder_params)
         self.config = config
         self.bucket_frames = bucket_frames
         self.fft_size = config.get("fft_size", 1024)
@@ -323,9 +328,11 @@ class Wav2WavARConverter:
         from .models.ar_driver import ChunkedARDecoder
 
         self.model = model
-        self.model_params = model_params
+        # on-device once; see Wav2WavConverter.__init__ (host-numpy params
+        # cost a full weight re-upload per request over the tunnel)
+        self.model_params = jax.device_put(model_params)
         self.vocoder = vocoder
-        self.vocoder_params = vocoder_params
+        self.vocoder_params = jax.device_put(vocoder_params)
         self.config = config
         self.bucket_frames = bucket_frames
         self.fft_size = config.get("fft_size", 1024)

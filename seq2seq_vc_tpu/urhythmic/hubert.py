@@ -362,7 +362,9 @@ def load_hubert_soft(checkpoint_path: str) -> Tuple[HubertSoft, Dict[str, Any]]:
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
     sd = {k.removeprefix("module."): v for k, v in sd.items()}
-    return HubertSoft(), convert_torch_hubert(sd)
+    # resident weights: host-numpy params passed as jit args re-upload
+    # ~380 MB over the axon tunnel on EVERY encode_batch call (r5 finding)
+    return HubertSoft(), jax.device_put(convert_torch_hubert(sd))
 
 
 def encode_batch(model: HubertSoft, params, wav: np.ndarray,

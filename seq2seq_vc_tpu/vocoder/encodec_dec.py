@@ -40,7 +40,8 @@ class EnCodec_decoder:
         if isinstance(obj, dict) and "state_dict" in obj:
             obj = obj["state_dict"]
         self.model = EncodecDecoder()
-        self.params = convert_torch_encodec_decoder(obj)
+        # resident weights: no per-utt re-upload over the tunnel
+        self.params = jax.device_put(convert_torch_encodec_decoder(obj))
         self.trg_stats = trg_stats
         self._apply = jax.jit(self.model.apply)
 

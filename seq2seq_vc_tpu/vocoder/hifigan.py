@@ -299,6 +299,10 @@ def load_hifigan_backend(checkpoint: str, config_path: Optional[str] = None):
     MXU utilization, and matches unchunked synthesis on the interior up to
     float tolerance (halo > receptive field)."""
     model, params = load_hifigan_model(checkpoint, config_path)
+    # on-device once: host-numpy params passed as jit args re-upload the
+    # whole generator over the axon tunnel on EVERY utterance (r5 serving
+    # measurement: weight re-upload dominated request latency)
+    params = jax.device_put(params)
 
     fn = jax.jit(lambda p, chunks: model.apply(p, chunks))
 

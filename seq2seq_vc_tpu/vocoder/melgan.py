@@ -382,6 +382,7 @@ def load_melgan_backend(checkpoint: str, config_path: Optional[str] = None):
         _torch_generator_sd(checkpoint), template,
         model.upsample_scales, model.stacks,
     )
+    params = jax.device_put(params)  # resident weights: no per-utt re-upload
     fn = jax.jit(lambda p, feats: model.apply(p, feats))
     hop = int(np.prod(model.upsample_scales))
 
@@ -420,6 +421,7 @@ def load_style_melgan_backend(
         _torch_generator_sd(checkpoint), template,
         len(model.noise_upsample_scales), len(model.upsample_scales),
     )
+    params = jax.device_put(params)  # resident weights: no per-utt re-upload
     fn = jax.jit(lambda p, feats, key: model.apply(p, feats, rng=key))
     hop = int(np.prod(model.upsample_scales))
 

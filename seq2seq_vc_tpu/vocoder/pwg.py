@@ -215,6 +215,7 @@ def load_pwg_backend(checkpoint: str, config_path: Optional[str] = None, seed: i
         lambda d, s: model.init({"params": jax.random.PRNGKey(s), "noise": jax.random.PRNGKey(s + 1)}, d)
     )(dummy, seed)
     params = torch_pwg_to_flax({k: v.numpy() for k, v in sd.items()}, template)
+    params = jax.device_put(params)  # resident weights: no per-utt re-upload
 
     fn = jax.jit(lambda p, feats, key: model.apply(p, feats, rng=key))
     hop = int(np.prod(model.upsample_scales))
