@@ -253,14 +253,21 @@ class ConversionService:
                 s, n, time.time() - t0,
             )
             if self.max_batch > 1:
-                t0 = time.time()
-                self.converter.convert_batch(
-                    [np.zeros(int(self.sr * s), np.float32)] * self.max_batch
-                )
-                logging.info(
-                    "warmup %.1fs bucket B=%d: %.1fs",
-                    s, self.max_batch, time.time() - t0,
-                )
+                # the dispatcher pads micro-batches to the next power of
+                # two, so EVERY pow2 shape <= max_batch is reachable —
+                # warm them all (load run r5: a cold B=4 program mid-load
+                # cost a 25 s p95 spike)
+                b = 2
+                while b <= self.max_batch:
+                    t0 = time.time()
+                    self.converter.convert_batch(
+                        [np.zeros(int(self.sr * s), np.float32)] * b
+                    )
+                    logging.info(
+                        "warmup %.1fs bucket B=%d: %.1fs",
+                        s, b, time.time() - t0,
+                    )
+                    b *= 2
 
     def convert_file(self, in_path: str, out_path: str) -> dict:
         from ..bin.preprocess import resample
